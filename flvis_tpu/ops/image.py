@@ -1,0 +1,141 @@
+"""Core batched image operations: pyramids, gradients, bilinear sampling.
+
+These replace the OpenCV primitives the reference leans on
+(cv::buildOpticalFlowPyramid inside calcOpticalFlowPyrLK, cv::equalizeHist at
+/root/reference/src/frontend/f2f_tracking.cpp:127-144) with fixed-shape JAX
+ops that XLA fuses and tiles for the TPU VPU.
+
+Images are single-channel float32 arrays (H, W) in [0, 255].  All sampling
+is clamp-to-edge.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+# 5-tap binomial kernel used by cv::pyrDown.
+_PYR_K = jnp.asarray([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
+
+
+def _sep_filter(img, kx, ky):
+    """Separable 2D filter with edge-replicate padding, (H, W) → (H, W)."""
+    rx = kx.shape[0] // 2
+    ry = ky.shape[0] // 2
+    p = jnp.pad(img, ((ry, ry), (rx, rx)), mode="edge")
+    # Horizontal pass.
+    p = jax.lax.conv_general_dilated(
+        p[None, None, :, :], kx[None, None, None, :],
+        window_strides=(1, 1), padding="VALID",
+    )[0, 0]
+    # Vertical pass.
+    p = jax.lax.conv_general_dilated(
+        p[None, None, :, :], ky[None, None, :, None],
+        window_strides=(1, 1), padding="VALID",
+    )[0, 0]
+    return p
+
+
+def pyr_down(img):
+    """Gaussian blur + 2× decimation (cv::pyrDown equivalent)."""
+    blurred = _sep_filter(img, _PYR_K, _PYR_K)
+    return blurred[::2, ::2]
+
+
+def build_pyramid(img, num_levels: int):
+    """List of `num_levels` images, level 0 = full resolution."""
+    levels = [img]
+    for _ in range(num_levels - 1):
+        levels.append(pyr_down(levels[-1]))
+    return levels
+
+
+def scharr_gradients(img):
+    """(Ix, Iy) via the 3×3 Scharr operator (OpenCV's LK derivative choice)."""
+    smooth = jnp.asarray([3.0, 10.0, 3.0]) / 32.0
+    diff = jnp.asarray([-1.0, 0.0, 1.0])
+    ix = _sep_filter(img, diff, smooth)
+    iy = _sep_filter(img, smooth, diff)
+    return ix, iy
+
+
+def sobel_gradients(img):
+    smooth = jnp.asarray([1.0, 2.0, 1.0]) / 4.0
+    diff = jnp.asarray([-1.0, 0.0, 1.0]) / 2.0
+    ix = _sep_filter(img, diff, smooth)
+    iy = _sep_filter(img, smooth, diff)
+    return ix, iy
+
+
+def box_filter(img, radius: int):
+    k = jnp.ones(2 * radius + 1) / (2 * radius + 1)
+    return _sep_filter(img, k, k)
+
+
+def bilinear_sample(img, xy):
+    """Sample img (H, W) at subpixel locations xy (..., 2) [x, y] order.
+
+    Clamp-to-edge; pure gathers so it vectorises over any batch shape.
+    """
+    h, w = img.shape
+    x = jnp.clip(xy[..., 0], 0.0, w - 1.000001)
+    y = jnp.clip(xy[..., 1], 0.0, h - 1.000001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    fx = x - x0
+    fy = y - y0
+    v00 = img[y0, x0]
+    v01 = img[y0, x1]
+    v10 = img[y1, x0]
+    v11 = img[y1, x1]
+    return (
+        v00 * (1 - fx) * (1 - fy)
+        + v01 * fx * (1 - fy)
+        + v10 * (1 - fx) * fy
+        + v11 * fx * fy
+    )
+
+
+def extract_patches(img, centers, radius: int):
+    """Subpixel square patches around centers.
+
+    Args:
+      img: (H, W).
+      centers: (N, 2) [x, y] patch centers (subpixel).
+      radius: patch half-size; patch side = 2*radius + 1.
+    Returns:
+      (N, S, S) patch values, S = 2*radius+1.
+    """
+    s = 2 * radius + 1
+    offs = jnp.arange(s, dtype=img.dtype) - radius
+    dx = jnp.broadcast_to(offs[None, :], (s, s))
+    dy = jnp.broadcast_to(offs[:, None], (s, s))
+    grid = jnp.stack([dx, dy], axis=-1)  # (S, S, 2)
+    pts = centers[:, None, None, :] + grid[None, :, :, :]
+    return bilinear_sample(img, pts)
+
+
+def equalize_hist(img, num_bins: int = 256):
+    """Global histogram equalization (cv::equalizeHist equivalent, used when
+    the YAML blur gate triggers, /root/reference/src/frontend/
+    f2f_tracking.cpp:127-148)."""
+    flat = jnp.clip(img.reshape(-1), 0.0, 255.0)
+    hist = jnp.zeros(num_bins).at[flat.astype(jnp.int32)].add(1.0)
+    cdf = jnp.cumsum(hist)
+    cdf_min = cdf[jnp.argmax(cdf > 0)]
+    denom = jnp.maximum(cdf[-1] - cdf_min, 1.0)
+    lut = jnp.clip((cdf - cdf_min) / denom * 255.0, 0.0, 255.0)
+    return lut[flat.astype(jnp.int32)].reshape(img.shape)
+
+
+@functools.partial(jax.jit, static_argnames=("ksize",))
+def gaussian_blur(img, sigma: float = 1.0, ksize: int = 5):
+    r = ksize // 2
+    xs = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (xs / sigma) ** 2)
+    k = k / jnp.sum(k)
+    return _sep_filter(img, k, k)

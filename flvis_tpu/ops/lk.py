@@ -1,0 +1,139 @@
+"""Batched pyramidal Lucas-Kanade optical flow.
+
+TPU-native replacement for cv::calcOpticalFlowPyrLK as used by the
+reference's temporal tracker (31×31 window, OPTFLOW_USE_INITIAL_FLOW with an
+IMU-projected guess — /root/reference/src/processing/lkorb_tracking.cpp:38-74)
+and its stereo left→right depth tracker
+(/root/reference/src/processing/camera_frame.cpp:93-180).
+
+Design: instead of a per-point C++ loop, the whole point set is advanced
+together.  Per pyramid level we precompute template-patch gradients from the
+previous image (OpenCV does the same — gradients are computed once from the
+prev patch and reused across iterations) and run a fixed number of
+Gauss-Newton iterations with a 2×2 closed-form solve, all masked so the
+computation is one static XLA program.  Converged points are frozen by a
+`jnp.where` rather than an early exit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from . import image as imops
+
+
+@dataclasses.dataclass(frozen=True)
+class LKParams:
+    radius: int = 10          # half window; side = 2r+1 (ref uses 15 → 31×31)
+    num_levels: int = 4       # pyramid levels (ref requests 10, capped by size)
+    iters: int = 10           # GN iterations per level
+    min_eig: float = 1e-4     # min eigenvalue of H per pixel (OpenCV default)
+    eps: float = 0.01         # convergence threshold on |delta| (OpenCV default)
+
+
+def _track_level(img_prev, grad_x, grad_y, img_next, pts_prev, flow, valid, p: LKParams):
+    """One pyramid level of LK. flow is the current displacement estimate."""
+    r = p.radius
+    # Template patches + gradients at the (fixed) previous-frame locations.
+    t_patch = imops.extract_patches(img_prev, pts_prev, r)          # (N,S,S)
+    gx = imops.extract_patches(grad_x, pts_prev, r)
+    gy = imops.extract_patches(grad_y, pts_prev, r)
+
+    # 2x2 structure tensor per point (constant across iterations).
+    a11 = jnp.sum(gx * gx, axis=(1, 2))
+    a12 = jnp.sum(gx * gy, axis=(1, 2))
+    a22 = jnp.sum(gy * gy, axis=(1, 2))
+    det = a11 * a22 - a12 * a12
+    tr = a11 + a22
+    min_eig = (tr - jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0))) * 0.5
+    patch_area = (2 * r + 1) ** 2
+    good = valid & (min_eig / patch_area > p.min_eig)
+    det_safe = jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
+
+    def body(_, carry):
+        flow, converged = carry
+        cur = imops.extract_patches(img_next, pts_prev + flow, r)
+        e = cur - t_patch
+        b1 = jnp.sum(gx * e, axis=(1, 2))
+        b2 = jnp.sum(gy * e, axis=(1, 2))
+        dx = (a22 * b1 - a12 * b2) / det_safe
+        dy = (a11 * b2 - a12 * b1) / det_safe
+        delta = jnp.stack([-dx, -dy], axis=-1)
+        step_ok = good & ~converged
+        flow = jnp.where(step_ok[:, None], flow + delta, flow)
+        converged = converged | (jnp.sum(delta * delta, axis=-1) < p.eps * p.eps)
+        return flow, converged
+
+    flow, _ = jax.lax.fori_loop(0, p.iters, body, (flow, jnp.zeros(flow.shape[0], bool)))
+    return flow, good
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def pyramidal_lk(pyr_prev, pyr_next, pts_prev, pts_guess, valid,
+                 params: LKParams = LKParams()):
+    """Track points from pyr_prev to pyr_next.
+
+    Args:
+      pyr_prev / pyr_next: tuples of (H/2^l, W/2^l) images, level 0 first
+        (from flvis_tpu.ops.image.build_pyramid).
+      pts_prev: (N, 2) [x, y] point locations in the previous frame.
+      pts_guess: (N, 2) initial guess for locations in the next frame
+        (pass pts_prev for no prior; the frontend passes IMU-projected
+        landmarks, mirroring OPTFLOW_USE_INITIAL_FLOW).
+      valid: (N,) bool mask of live slots.
+    Returns:
+      pts_next: (N, 2) tracked locations.
+      status: (N,) bool success mask (conditioning + in-bounds).
+      err: (N,) mean absolute patch residual at the solution.
+    """
+    num_levels = len(pyr_prev)
+    assert len(pyr_next) == num_levels
+    scale_top = 2.0 ** (num_levels - 1)
+    flow = (pts_guess - pts_prev) / scale_top
+    status = valid
+    for lvl in range(num_levels - 1, -1, -1):
+        s = 2.0 ** lvl
+        img_p = pyr_prev[lvl]
+        gx, gy = imops.scharr_gradients(img_p)
+        flow, good = _track_level(
+            img_p, gx, gy, pyr_next[lvl], pts_prev / s, flow, status, params
+        )
+        status = status & good
+        if lvl > 0:
+            flow = flow * 2.0
+
+    pts_next = pts_prev + flow
+    h, w = pyr_next[0].shape
+    r = params.radius
+    inb = (
+        (pts_next[:, 0] >= r) & (pts_next[:, 0] <= w - 1 - r)
+        & (pts_next[:, 1] >= r) & (pts_next[:, 1] <= h - 1 - r)
+    )
+    status = status & inb
+    final = imops.extract_patches(pyr_next[0], pts_next, r)
+    templ = imops.extract_patches(pyr_prev[0], pts_prev, r)
+    err = jnp.mean(jnp.abs(final - templ), axis=(1, 2))
+    return pts_next, status, err
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def stereo_lk(pyr_left, pyr_right, pts_left, disparity_guess, valid,
+              params: LKParams = LKParams()):
+    """Left→right rectified-stereo track for depth recovery.
+
+    Replaces the "inner LK" in CameraFrame::recover3DPts_c_FromStereo
+    (/root/reference/src/processing/camera_frame.cpp:93-180).  The guess
+    shifts along -x by disparity_guess; the vertical component of the result
+    is additionally gated (rectified epipolar lines are horizontal).
+    Returns (disparity, status).
+    """
+    guess = pts_left - jnp.stack([disparity_guess, jnp.zeros_like(disparity_guess)], -1)
+    pts_right, status, _ = pyramidal_lk(pyr_left, pyr_right, pts_left, guess, valid, params)
+    dy = jnp.abs(pts_right[:, 1] - pts_left[:, 1])
+    disparity = pts_left[:, 0] - pts_right[:, 0]
+    status = status & (dy < 1.5) & (disparity > 0.0)
+    return disparity, status

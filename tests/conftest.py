@@ -1,0 +1,28 @@
+"""Test configuration: force a local 8-virtual-device CPU JAX platform.
+
+The container's sitecustomize imports jax at interpreter start and registers
+a remote-TPU "axon" backend (JAX_PLATFORMS=axon, with network round-trips on
+every compile).  Setting the env var here is too late — jax is already
+imported — but jax.config.update("jax_platforms", ...) still works, and
+XLA_FLAGS is read at backend init, which hasn't happened yet at conftest
+time.  Tests therefore run on a local 8-virtual-device CPU mesh; bench.py
+keeps the axon env and runs on the real TPU.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
