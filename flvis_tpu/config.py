@@ -1,0 +1,201 @@
+"""Configuration for the TPU-native SLAM engine.
+
+Mirrors the reference's single-YAML parameter surface (read through
+/root/reference/src/utils/include/yamlRead.h; full parameter list inventoried
+in SURVEY.md §5: type_of_vi, intrinsics/extrinsics, vifusion_para1..6,
+feature_para1..6, dr_para1..3, window_size, loop params lcKF*/ratio*/minScore,
+plus the hardcoded constants 0.05 m / 0.2 rad keyframe gates, chi²=3,
+min-inliers 10, 16 grid cells, 31×31 LK window).
+
+Static (shape-determining / branch-determining) values live in this frozen
+dataclass so it can be a jit static argument; per-sequence numeric values
+(intrinsics, extrinsics) travel separately as arrays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+class ViType:
+    """Sensor configurations (vi_type.h:4-9 in the reference)."""
+
+    D435I_DEPTH = 0
+    EUROC_MAV = 1
+    D435_DEPTH_PIXHAWK = 2
+    D435I_STEREO = 3
+    KITTI_STEREO = 4
+    D435_STEREO_PIXHAWK = 5
+
+
+@dataclasses.dataclass(frozen=True)
+class FrontendConfig:
+    # --- image / capacity (static shapes) ---
+    width: int = 752
+    height: int = 480
+    num_slots: int = 256            # landmark table capacity (16 cells × 16)
+    pyramid_levels: int = 4
+
+    # --- feature detection (feature_para*, vo_tracking.cpp:126-134) ---
+    grid_rows: int = 4
+    grid_cols: int = 4
+    per_cell: int = 16
+    min_distance: float = 15.0
+    quality_level: float = 0.01
+    margin: int = 20
+
+    # --- LK tracking (lkorb_tracking.cpp: 31×31 window, 10 levels) ---
+    lk_radius: int = 10
+    lk_iters: int = 10
+    lk_min_eig: float = 1e-4
+
+    # --- geometric gates ---
+    ransac_threshold: float = 3.0       # F-matrix Sampson gate, px
+    ransac_hypotheses: int = 128
+    min_inliers: int = 10               # failure threshold (ref: <10 at any stage)
+    chi2_cull: float = 9.0              # BA edge cull (ref chi²>3 on ~(px/σ)²)
+    huber_delta: float = 2.0
+    mad_sigma: float = 3.0
+
+    # --- depth recovery (dr_para1..3) ---
+    iir_ratio: float = 0.3              # depth innovation IIR blend
+    depth_min: float = 0.1
+    depth_max: float = 100.0
+    dummy_depth: bool = False           # stereo bootstrap dummy depth enable
+    dummy_depth_range: tuple = (0.3, 0.7)
+    innovation_gate: float = 0.3        # relative depth-jump rejection
+
+    # --- keyframe decision (f2f_tracking.cpp:338-354) ---
+    kf_min_trans: float = 0.05          # metres
+    kf_min_rot: float = 0.2             # radians
+    kf_bootstrap_every: int = 5         # every 5th of the first 40 frames
+    kf_bootstrap_frames: int = 40
+
+    # --- motion-only BA schedule ---
+    ba_iters1: int = 3
+    ba_iters2: int = 5
+
+    # --- equalization (f2f_tracking.cpp:127-148) ---
+    equalize: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class VioConfig:
+    """VIMOTION parameters (vifusion_para1..6, vo_tracking.cpp:116-124)."""
+
+    imu_capacity: int = 400             # state deque bound (vi_motion.h:10)
+    madgwick_beta: float = 0.05         # para_1
+    rp_blend: float = 0.05              # para_2: roll/pitch feedforward weight
+    acc_bias_gain: float = 0.01         # para_3
+    gyro_bias_gain: float = 0.01        # para_4
+    acc_bias_sat: float = 0.5           # ba_sat
+    gyro_bias_sat: float = 0.1          # bw_sat
+    gravity: float = 9.81
+    init_samples: int = 30              # Madgwick init window (vi_motion.cpp:34-115)
+
+
+@dataclasses.dataclass(frozen=True)
+class BackendConfig:
+    """Sliding-window BA (vo_localmap.cpp:382-469)."""
+
+    window_size: int = 10               # clamped [3,100] in the reference
+    max_landmarks: int = 1024           # fixed landmark-slot capacity in the window
+    min_views: int = 4                  # multi-view export filter (vo_localmap.cpp:330)
+    iters1: int = 12                    # optimize(12)
+    iters2: int = 8                     # → cull chi²>3 → optimize(8)
+    chi2_cull: float = 9.0
+    huber_delta: float = 2.0
+
+
+@dataclasses.dataclass(frozen=True)
+class LoopConfig:
+    """Loop closing (LC_PARAS, vo_loopclosing.cpp:86-97)."""
+
+    max_keyframes: int = 2048           # capacity of the KF database arrays
+    num_orb_features: int = 500
+    vocab_words: int = 4096             # flattened BoW vocabulary size
+    kf_start: int = 50                  # min KFs before searching (lcKFStart)
+    kf_dist: int = 50                   # temporal gate to candidates (lcKFDist)
+    kf_max_dist: int = 5000
+    nkf_closest: int = 3                # neighbour-consistency count (lcNKFClosest)
+    ratio_max: float = 0.75             # descriptor ratio test
+    ratio_ransac: float = 0.55          # PnP inlier-ratio accept gate
+    min_pts: int = 15
+    min_score: float = 0.02
+    max_trans: float = 3.0              # ‖t‖ accept gate (vo_loopclosing.cpp:686)
+    max_rot: float = 1.5                # ‖log R‖ accept gate
+    pgo_iters: int = 100                # optimize(100)
+    seq_edge_successors: int = 5        # sequential edges to 5 successors
+
+
+@dataclasses.dataclass(frozen=True)
+class SystemConfig:
+    vi_type: int = ViType.EUROC_MAV
+    frontend: FrontendConfig = FrontendConfig()
+    vio: VioConfig = VioConfig()
+    backend: BackendConfig = BackendConfig()
+    loop: LoopConfig = LoopConfig()
+
+    def replace(self, **kw) -> "SystemConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def load_yaml(path: str) -> SystemConfig:
+    """Build a SystemConfig from a reference-style YAML file.
+
+    Reads the same keys the reference's yamlRead.h getters consume
+    (feature_para*, vifusion_para*, dr_para*, window_size, lc params).
+    Unknown keys are ignored; missing keys keep defaults.
+    """
+    import yaml
+
+    with open(path) as f:
+        y = yaml.safe_load(f) or {}
+
+    fe = {}
+    if "image_width" in y:
+        fe["width"] = int(y["image_width"])
+    if "image_height" in y:
+        fe["height"] = int(y["image_height"])
+    if "feature_para1" in y:
+        fe["per_cell"] = int(y["feature_para1"])
+    if "feature_para3" in y:
+        fe["min_distance"] = float(y["feature_para3"])
+    if "feature_para5" in y:
+        fe["quality_level"] = float(y["feature_para5"])
+    dr = {}
+    if "dr_para1" in y:
+        dr["iir_ratio"] = float(y["dr_para1"])
+    if "dr_para2" in y:
+        dr["depth_max"] = float(y["dr_para2"])
+    if "dr_para3" in y:
+        dr["dummy_depth"] = bool(y["dr_para3"])
+    vio = {}
+    if "vifusion_para1" in y:
+        vio["madgwick_beta"] = float(y["vifusion_para1"])
+    if "vifusion_para2" in y:
+        vio["rp_blend"] = float(y["vifusion_para2"])
+    if "vifusion_para3" in y:
+        vio["acc_bias_gain"] = float(y["vifusion_para3"])
+    if "vifusion_para4" in y:
+        vio["gyro_bias_gain"] = float(y["vifusion_para4"])
+    be = {}
+    if "window_size" in y:
+        be["window_size"] = max(3, min(100, int(y["window_size"])))
+    lc = {}
+    for src, dst in [("lcKFStart", "kf_start"), ("lcKFDist", "kf_dist"),
+                     ("lcNKFClosest", "nkf_closest"), ("ratioMax", "ratio_max"),
+                     ("ratioRansac", "ratio_ransac"), ("minPts", "min_pts"),
+                     ("minScore", "min_score")]:
+        if src in y:
+            default = LoopConfig.__dataclass_fields__[dst].default
+            lc[dst] = type(default)(y[src])
+
+    return SystemConfig(
+        vi_type=int(y.get("type_of_vi", ViType.EUROC_MAV)),
+        frontend=FrontendConfig(**fe, **dr),
+        vio=VioConfig(**vio),
+        backend=BackendConfig(**be),
+        loop=LoopConfig(**lc),
+    )

@@ -1,0 +1,343 @@
+"""Frame-to-frame tracking state machine — the frontend hot loop.
+
+TPU-native re-design of the reference's F2FTracking
+(/root/reference/src/frontend/f2f_tracking.cpp:59-453, states
+UnInit/Tracking/TrackingFail in include/f2f_tracking.h:15-17).  The
+reference's per-frame pipeline (STEP1..8 comments in image_feed) maps to:
+
+  STEP2  LK tracking with a pose-prior-projected initial guess
+         → ops.lk.pyramidal_lk (guess from IMU or constant-velocity model)
+  STEP2b fundamental-matrix RANSAC consistency gate → ops.ransac
+  STEP3  in-frame motion-only BA (g2o) → backend.motion_ba (robust LM; this
+         also subsumes cv::solvePnPRansac since the prior is good)
+  STEP4  reprojection outlier rejection with median+MAD threshold
+         → ops.ransac.mad_gate (camera_frame.cpp:43-91)
+  STEP5  grid redetection → ops.features + landmark_table.fill_new_detections
+  STEP6  depth innovation IIR update → _depth_innovation (stereo LK left→
+         right + closed-form rectified depth, camera_frame.cpp:93-330)
+  STEP7/8 keyframe decision: ‖t‖ ≥ 0.05 m or ‖log R‖ ≥ 0.2 rad, plus every
+         5th of the first 40 frames (f2f_tracking.cpp:338-354)
+
+Failure handling mirrors the reference: inlier starvation at any stage →
+TrackingFail; the next frame re-initialises from the motion prior and
+re-detects (f2f_tracking.cpp:357-394) and raises `reset_backend` — the
+KFMSG_CMD_RESET_LM equivalent.
+
+Everything is ONE jitted XLA program over fixed-shape state; the whole
+TrackerState pytree stays on device between frames.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..backend import motion_ba
+from ..config import FrontendConfig
+from ..geometry import camera as cam_m, se3 as se3m, so3
+from ..geometry.camera import StereoCamera
+from ..geometry.se3 import SE3
+from ..ops import features as feat_ops
+from ..ops import image as imops
+from ..ops import lk as lk_ops
+from ..ops import ransac as ransac_ops
+from . import landmark_table as lt
+
+STATUS_UNINIT = 0
+STATUS_TRACKING = 1
+STATUS_FAIL = 2
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TrackerState:
+    table: lt.LandmarkTable
+    T_c_w: SE3                 # current camera-from-world pose
+    T_prev: SE3                # previous frame pose
+    velocity: jax.Array        # (6,) twist log(T_k ∘ T_{k-1}⁻¹) — motion model
+    pyr_prev: tuple            # previous left-image pyramid
+    status: jax.Array          # i32: 0 uninit / 1 tracking / 2 fail
+    frame_id: jax.Array        # i32
+    next_lm_id: jax.Array      # i32 (ids start at 100, landmark.cpp:3-9)
+    last_kf_T: SE3
+    kf_count: jax.Array        # i32
+    frames_since_kf: jax.Array # i32
+
+
+class FrameOutput(NamedTuple):
+    T_c_w: SE3
+    is_keyframe: jax.Array
+    reset_backend: jax.Array   # KFMSG_CMD_RESET_LM equivalent
+    num_inliers: jax.Array
+    mean_reproj_err: jax.Array
+    status: jax.Array
+
+
+def init_state(cfg: FrontendConfig, dtype=jnp.float32) -> TrackerState:
+    zero_pyr = tuple(
+        jnp.zeros((cfg.height // (2 ** l), cfg.width // (2 ** l)), dtype)
+        for l in range(cfg.pyramid_levels)
+    )
+    I = se3m.identity(dtype=dtype)
+    return TrackerState(
+        table=lt.empty(cfg.num_slots, dtype),
+        T_c_w=I, T_prev=I,
+        velocity=jnp.zeros(6, dtype),
+        pyr_prev=zero_pyr,
+        status=jnp.asarray(STATUS_UNINIT, jnp.int32),
+        frame_id=jnp.asarray(0, jnp.int32),
+        next_lm_id=jnp.asarray(100, jnp.int32),
+        last_kf_T=I,
+        kf_count=jnp.asarray(0, jnp.int32),
+        frames_since_kf=jnp.asarray(0, jnp.int32),
+    )
+
+
+def _detect_params(cfg: FrontendConfig) -> feat_ops.DetectParams:
+    return feat_ops.DetectParams(
+        grid_rows=cfg.grid_rows, grid_cols=cfg.grid_cols, per_cell=cfg.per_cell,
+        min_distance=cfg.min_distance, quality_level=cfg.quality_level,
+        margin=cfg.margin,
+    )
+
+
+def _lk_params(cfg: FrontendConfig) -> lk_ops.LKParams:
+    return lk_ops.LKParams(
+        radius=cfg.lk_radius, num_levels=cfg.pyramid_levels, iters=cfg.lk_iters,
+        min_eig=cfg.lk_min_eig,
+    )
+
+
+def _measure_depth(cfg: FrontendConfig, cam: StereoCamera, pyr0, pyr1, table: lt.LandmarkTable,
+                   T_c_w: SE3):
+    """Stereo depth for all active slots at their current uv.
+
+    Replaces CameraFrame::recover3DPts_c_FromStereo's inner LK + per-point SVD
+    (camera_frame.cpp:93-180) with one batched left→right LK and the
+    closed-form rectified-disparity depth.
+    """
+    p_c = se3m.transform_points(T_c_w, table.p_w)
+    z_prior = jnp.where(table.has_3d, p_c[:, 2], 4.0)
+    disp_guess = cam.fx * cam.baseline / jnp.clip(z_prior, cfg.depth_min, cfg.depth_max)
+    disp, ok = lk_ops.stereo_lk(pyr0, pyr1, table.uv, disp_guess, table.active,
+                                _lk_params(cfg))
+    z = cam.fx * cam.baseline / jnp.maximum(disp, 1e-3)
+    ok = ok & (z > cfg.depth_min) & (z < cfg.depth_max)
+    return z, ok
+
+
+def _depth_from_image(cfg: FrontendConfig, cam: StereoCamera, d_img, table: lt.LandmarkTable):
+    """RGB-D path: bilinear depth lookup / depth_factor with range gating
+    (CameraFrame::recover3DPts_c_FromDepthImg, camera_frame.cpp:182-234)."""
+    z = imops.bilinear_sample(d_img, table.uv) / cam.depth_factor
+    ok = table.active & (z > cfg.depth_min) & (z < cfg.depth_max)
+    return z, ok
+
+
+def _depth_innovation(cfg: FrontendConfig, cam: StereoCamera, table: lt.LandmarkTable,
+                      T_c_w: SE3, z_meas, meas_ok, key):
+    """IIR depth fusion — the system's signature depth-innovation scheme
+    (CameraFrame::depthInnovation, camera_frame.cpp:271-330).
+
+    For slots with existing 3D: blend measured depth into the map depth with
+    ratio `iir_ratio` unless the innovation is a large relative jump.  For
+    slots without 3D: adopt the measurement (or, for stereo bootstrap with
+    dummy_depth enabled, a random depth — camera_frame.cpp:151-177).
+    """
+    p_c = se3m.transform_points(T_c_w, table.p_w)
+    z_old = p_c[:, 2]
+    rel_jump = jnp.abs(z_meas - z_old) / jnp.maximum(z_old, 1e-3)
+    accept = meas_ok & (rel_jump < cfg.innovation_gate)
+    z_fused = jnp.where(
+        table.has_3d,
+        jnp.where(accept, (1.0 - cfg.iir_ratio) * z_old + cfg.iir_ratio * z_meas, z_old),
+        z_meas,
+    )
+    if cfg.dummy_depth:
+        lo, hi = cfg.dummy_depth_range
+        z_dummy = jax.random.uniform(key, z_meas.shape, z_meas.dtype, lo, hi)
+        z_fused = jnp.where(~table.has_3d & ~meas_ok, z_dummy, z_fused)
+        new_has = table.active & (table.has_3d | meas_ok | ~meas_ok)
+    else:
+        new_has = table.active & (table.has_3d | meas_ok)
+
+    p_c_new = cam_m.backproject(cam, table.uv, z_fused)
+    p_w_new = cam_m.cam_to_world(T_c_w, p_c_new)
+    p_w = jnp.where(new_has[:, None], p_w_new, table.p_w)
+    return dataclasses.replace(table, p_w=p_w, has_3d=new_has)
+
+
+def _redetect(cfg: FrontendConfig, img0, table: lt.LandmarkTable, T_c_w: SE3, next_id):
+    cand_uv, _, cand_valid = feat_ops.detect_grid_features(
+        img0, table.uv, table.active, _detect_params(cfg)
+    )
+    return lt.fill_new_detections(table, cand_uv, cand_valid, T_c_w, next_id)
+
+
+def _init_branch(cfg: FrontendConfig, cam: StereoCamera, state: TrackerState,
+                 pyr0, pyr1, T_init: SE3, key):
+    """UnInit / TrackingFail recovery: wipe, detect, recover depth
+    (f2f_tracking.cpp:402-453 init_frame; recovery at 357-394)."""
+    table = lt.empty(cfg.num_slots, state.table.uv.dtype)
+    table, next_id = _redetect(cfg, pyr0[0], table, T_init, state.next_lm_id)
+    z, ok = _measure_depth(cfg, cam, pyr0, pyr1, table, T_init)
+    table = _depth_innovation(cfg, cam, table, T_init, z, ok, key)
+    new_state = dataclasses.replace(
+        state,
+        table=table, T_c_w=T_init, T_prev=T_init,
+        velocity=jnp.zeros_like(state.velocity),
+        status=jnp.asarray(STATUS_TRACKING, jnp.int32),
+        next_lm_id=next_id,
+        last_kf_T=T_init,
+        kf_count=state.kf_count + 1,
+        frames_since_kf=jnp.asarray(0, jnp.int32),
+    )
+    was_fail = state.status == STATUS_FAIL
+    out = FrameOutput(
+        T_c_w=T_init,
+        is_keyframe=jnp.asarray(True),
+        reset_backend=was_fail,
+        num_inliers=lt.num_tracked_3d(table),
+        mean_reproj_err=jnp.asarray(0.0, jnp.float32),
+        status=new_state.status,
+    )
+    return new_state, out
+
+
+def _track_branch(cfg: FrontendConfig, cam: StereoCamera, state: TrackerState,
+                  pyr0, pyr1, T_prior: SE3, key):
+    table = state.table
+    k_ransac, k_depth = jax.random.split(key)
+
+    # --- STEP2: LK with projected initial guess -----------------------------
+    p_c_pred = se3m.transform_points(T_prior, table.p_w)
+    uv_guess_3d = cam_m.project(cam, p_c_pred)
+    use_proj = table.has_3d & (p_c_pred[:, 2] > cfg.depth_min) \
+        & cam_m.in_bounds(cam, uv_guess_3d)
+    uv_guess = jnp.where(use_proj[:, None], uv_guess_3d, table.uv)
+    uv_new, lk_ok, _ = lk_ops.pyramidal_lk(
+        state.pyr_prev, pyr0, table.uv, uv_guess, table.active, _lk_params(cfg)
+    )
+
+    # --- STEP2b: fundamental-matrix consistency gate ------------------------
+    f_inl, _, _ = ransac_ops.fundamental_ransac(
+        k_ransac, table.uv, uv_new, table.active & lk_ok,
+        threshold=cfg.ransac_threshold, num_hypotheses=cfg.ransac_hypotheses,
+    )
+
+    # --- STEP3: motion-only BA (robust LM from the prior) -------------------
+    ba_mask = table.active & lk_ok & f_inl & table.has_3d
+    ba = motion_ba.optimize_pose(
+        cam, T_prior, table.p_w, uv_new, ba_mask,
+        iters1=cfg.ba_iters1, iters2=cfg.ba_iters2,
+        huber_delta=cfg.huber_delta, chi2_cull=cfg.chi2_cull,
+        min_points=cfg.min_inliers,
+    )
+    T_new = ba.T_c_w
+
+    # --- STEP4: median+MAD reprojection gate --------------------------------
+    reproj = cam_m.project_world(cam, T_new, table.p_w)
+    err = jnp.linalg.norm(reproj - uv_new, axis=-1)
+    mad_ok, _ = ransac_ops.mad_gate(err, ba_mask & ba.inliers, sigma_mult=cfg.mad_sigma)
+
+    survivors = table.active & lk_ok & f_inl & jnp.where(table.has_3d, mad_ok, True)
+    num_inl = jnp.sum(survivors & table.has_3d)
+    failed = num_inl < cfg.min_inliers
+
+    # --- update table with tracking results ---------------------------------
+    table = dataclasses.replace(
+        table,
+        uv=jnp.where(lk_ok[:, None], uv_new, table.uv),
+        inlier=survivors,
+        age=jnp.where(survivors, table.age + 1, table.age),
+    )
+    table = lt.kill(table, table.active & ~survivors)
+
+    mean_err = jnp.sum(jnp.where(survivors & table.has_3d, err, 0.0)) / jnp.maximum(num_inl, 1)
+
+    # --- STEP5: redetect into freed slots -----------------------------------
+    table, next_id = _redetect(cfg, pyr0[0], table, T_new, state.next_lm_id)
+
+    # --- STEP6: depth innovation --------------------------------------------
+    z, z_ok = _measure_depth(cfg, cam, pyr0, pyr1, table, T_new)
+    table = _depth_innovation(cfg, cam, table, T_new, z, z_ok, k_depth)
+
+    # --- STEP7/8: motion model + keyframe decision --------------------------
+    velocity = se3m.log(se3m.compose(T_new, se3m.inverse(state.T_prev)))
+    dt_norm, dr_norm = se3m.distance(state.last_kf_T, T_new)
+    bootstrap = (state.frame_id < cfg.kf_bootstrap_frames) & (
+        (state.frames_since_kf + 1) >= cfg.kf_bootstrap_every
+    )
+    is_kf = (~failed) & (
+        (dt_norm >= cfg.kf_min_trans) | (dr_norm >= cfg.kf_min_rot) | bootstrap
+    )
+
+    new_status = jnp.where(failed, STATUS_FAIL, STATUS_TRACKING).astype(jnp.int32)
+    new_state = dataclasses.replace(
+        state,
+        table=table,
+        T_c_w=T_new,
+        T_prev=jax.tree.map(lambda a: a, T_new),
+        velocity=velocity,
+        status=new_status,
+        next_lm_id=next_id,
+        last_kf_T=jax.tree.map(
+            lambda a, b: jnp.where(is_kf, b, a), state.last_kf_T, T_new
+        ),
+        kf_count=state.kf_count + is_kf.astype(jnp.int32),
+        frames_since_kf=jnp.where(is_kf, 0, state.frames_since_kf + 1).astype(jnp.int32),
+    )
+    out = FrameOutput(
+        T_c_w=T_new,
+        is_keyframe=is_kf,
+        reset_backend=jnp.asarray(False),
+        num_inliers=num_inl,
+        mean_reproj_err=mean_err,
+        status=new_status,
+    )
+    return new_state, out
+
+
+# NOTE: no buffer donation — several state fields legitimately alias the same
+# device buffer (e.g. T_c_w and T_prev right after a keyframe), and XLA
+# rejects donating one buffer twice.
+@functools.partial(jax.jit, static_argnames=("cfg", "use_prior"))
+def track_frame(cfg: FrontendConfig, cam: StereoCamera, state: TrackerState,
+                img0, img1, prior_T: Optional[SE3] = None, use_prior: bool = False,
+                rng_key=None):
+    """Process one stereo frame.  The whole step is a single XLA program.
+
+    Args:
+      img0/img1: (H, W) float32 left/right rectified images.
+      prior_T: optional externally-supplied pose prediction (IMU feedforward,
+        VIMOTION::viGetCorrFrameState equivalent).  When absent the
+        constant-velocity model extrapolates the last inter-frame twist.
+      rng_key: optional PRNGKey; defaults to a fold of the frame id.
+    """
+    if rng_key is None:
+        rng_key = jax.random.fold_in(jax.random.PRNGKey(7), state.frame_id)
+
+    img0 = imops.equalize_hist(img0) if cfg.equalize else img0
+    pyr0 = tuple(imops.build_pyramid(img0, cfg.pyramid_levels))
+    pyr1 = tuple(imops.build_pyramid(img1, cfg.pyramid_levels))
+
+    if use_prior and prior_T is not None:
+        T_pred = prior_T
+    else:
+        T_pred = se3m.compose(se3m.exp(state.velocity), state.T_prev)
+
+    def do_init(st):
+        return _init_branch(cfg, cam, st, pyr0, pyr1, T_pred, rng_key)
+
+    def do_track(st):
+        return _track_branch(cfg, cam, st, pyr0, pyr1, T_pred, rng_key)
+
+    new_state, out = jax.lax.cond(state.status == STATUS_TRACKING, do_track, do_init, state)
+    new_state = dataclasses.replace(
+        new_state, pyr_prev=pyr0, frame_id=state.frame_id + 1
+    )
+    return new_state, out

@@ -1,0 +1,166 @@
+"""Synthetic scenes for testing and benchmarking.
+
+The reference validates only by replaying recorded datasets (EuRoC/KITTI
+rosbags — see SURVEY.md §4); it ships no unit or synthetic tests.  This
+module provides what the TPU build needs instead: procedurally textured
+images with exactly known ground-truth camera trajectories, depth maps and
+stereo pairs, so every kernel and the whole pipeline can be verified against
+closed-form truth without dataset downloads.
+
+Host-side (numpy) on purpose — data generation is not part of the measured
+device pipeline.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+def textured_image(rng: np.random.Generator, h: int, w: int, octaves: int = 4) -> np.ndarray:
+    """Smooth multi-octave random texture in [0, 255], float32 (H, W).
+
+    Enough local gradient structure everywhere for LK and corner detection.
+    """
+    img = np.zeros((h, w), np.float32)
+    for o in range(octaves):
+        s = 2 ** (octaves - o)
+        small = rng.standard_normal((h // s + 2, w // s + 2)).astype(np.float32)
+        # Bilinear upsample.
+        ys = np.linspace(0, small.shape[0] - 1.001, h)
+        xs = np.linspace(0, small.shape[1] - 1.001, w)
+        y0 = ys.astype(int); x0 = xs.astype(int)
+        fy = (ys - y0)[:, None]; fx = (xs - x0)[None, :]
+        up = (
+            small[np.ix_(y0, x0)] * (1 - fy) * (1 - fx)
+            + small[np.ix_(y0, x0 + 1)] * (1 - fy) * fx
+            + small[np.ix_(y0 + 1, x0)] * fy * (1 - fx)
+            + small[np.ix_(y0 + 1, x0 + 1)] * fy * fx
+        )
+        img += up * (2.0 ** o)
+    img -= img.min()
+    img *= 255.0 / max(img.max(), 1e-6)
+    return img.astype(np.float32)
+
+
+def warp_translate(img: np.ndarray, dx: float, dy: float) -> np.ndarray:
+    """Shift an image by a subpixel translation (bilinear, edge clamp)."""
+    h, w = img.shape
+    xs = np.clip(np.arange(w) - dx, 0, w - 1.001)
+    ys = np.clip(np.arange(h) - dy, 0, h - 1.001)
+    x0 = xs.astype(int); y0 = ys.astype(int)
+    fx = (xs - x0)[None, :]; fy = (ys - y0)[:, None]
+    return (
+        img[np.ix_(y0, x0)] * (1 - fy) * (1 - fx)
+        + img[np.ix_(y0, x0 + 1)] * (1 - fy) * fx
+        + img[np.ix_(y0 + 1, x0)] * fy * (1 - fx)
+        + img[np.ix_(y0 + 1, x0 + 1)] * fy * fx
+    ).astype(np.float32)
+
+
+@dataclasses.dataclass
+class SceneConfig:
+    width: int = 512
+    height: int = 384
+    fx: float = 400.0
+    fy: float = 400.0
+    cx: float = 256.0
+    cy: float = 192.0
+    baseline: float = 0.2
+
+
+class PlanarScene:
+    """A textured fronto-parallel world plane viewed by a moving stereo rig.
+
+    The world is the plane z = plane_depth carrying a texture; the camera
+    translates/rotates in front of it.  Every pixel has exact closed-form
+    depth and correspondence, making it an analytically checkable end-to-end
+    scenario (LK flow, triangulated depth, PnP pose, full VO loop).
+    """
+
+    def __init__(self, cfg: SceneConfig, plane_depth: float = 8.0, seed: int = 0,
+                 texture_scale: float = 4.0):
+        self.cfg = cfg
+        self.depth = plane_depth
+        rng = np.random.default_rng(seed)
+        # World-plane texture, sampled at texture_scale px per metre... the
+        # texture covers enough plane area for all rendered views.
+        self.tex_h = int(cfg.height * texture_scale)
+        self.tex_w = int(cfg.width * texture_scale)
+        self.tex = textured_image(rng, self.tex_h, self.tex_w)
+        # Metres of plane per texture pixel: make the full-res view at the
+        # nominal depth sample the texture near 1:1.
+        self.m_per_tpx = plane_depth / cfg.fx / 2.0
+
+    def _sample_tex(self, X, Y):
+        """Sample the plane texture at world coords (X, Y) (arrays, metres)."""
+        u = X / self.m_per_tpx + self.tex_w / 2.0
+        v = Y / self.m_per_tpx + self.tex_h / 2.0
+        u = np.clip(u, 0, self.tex_w - 1.001)
+        v = np.clip(v, 0, self.tex_h - 1.001)
+        u0 = u.astype(int); v0 = v.astype(int)
+        fu = u - u0; fv = v - v0
+        t = self.tex
+        return (
+            t[v0, u0] * (1 - fv) * (1 - fu)
+            + t[v0, u0 + 1] * (1 - fv) * fu
+            + t[v0 + 1, u0] * fv * (1 - fu)
+            + t[v0 + 1, u0 + 1] * fv * fu
+        ).astype(np.float32)
+
+    def render(self, T_c_w_R: np.ndarray, T_c_w_t: np.ndarray):
+        """Render (img_left, img_right, depth_left) for camera pose T_c_w.
+
+        T_c_w maps world → camera: x_c = R x_w + t.
+        """
+        cfg = self.cfg
+        R, t = T_c_w_R, T_c_w_t
+        Rwc = R.T
+        C = -Rwc @ t  # camera centre in world
+        us, vs = np.meshgrid(np.arange(cfg.width), np.arange(cfg.height))
+
+        def render_cam(offset_x):
+            # Right camera sits at +baseline along camera x.
+            C_cam = C + Rwc @ np.array([offset_x, 0.0, 0.0])
+            # Ray directions in world for every pixel.
+            d_c = np.stack(
+                [(us - cfg.cx) / cfg.fx, (vs - cfg.cy) / cfg.fy, np.ones_like(us, np.float32)],
+                axis=-1,
+            )
+            d_w = d_c @ Rwc.T
+            # Intersect with plane z = depth.
+            dz = d_w[..., 2]
+            dz = np.where(np.abs(dz) < 1e-9, 1e-9, dz)
+            lam = (self.depth - C_cam[2]) / dz
+            X = C_cam[0] + lam * d_w[..., 0]
+            Y = C_cam[1] + lam * d_w[..., 1]
+            img = self._sample_tex(X, Y)
+            # Depth along camera z = lam * d_c_z(=1) rotated... depth is the
+            # camera-frame z of the intersection point.
+            Pw = np.stack([X, Y, np.full_like(X, self.depth)], axis=-1)
+            Pc = (Pw - (C_cam)[None, None, :]) @ Rwc
+            return img, Pc[..., 2].astype(np.float32)
+
+        img_l, depth_l = render_cam(0.0)
+        img_r, _ = render_cam(cfg.baseline)
+        return img_l, img_r, depth_l
+
+
+def orbit_trajectory(num_frames: int, radius: float = 0.5, step: float = 0.02,
+                     yaw_rate: float = 0.002):
+    """A gently translating + yawing camera path (list of (R, t) world→cam).
+
+    Starts at identity, mostly forward/sideways translation with small yaw —
+    representative of the EuRoC/KITTI motion regime.
+    """
+    poses = []
+    for i in range(num_frames):
+        yaw = yaw_rate * i
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        R_w_c = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+        C = np.array([step * i, 0.3 * radius * np.sin(0.05 * i), 0.1 * radius * np.sin(0.03 * i)])
+        R = R_w_c.T
+        t = -R @ C
+        poses.append((R, t))
+    return poses

@@ -1,0 +1,279 @@
+"""VIMOTION: IMU attitude/position propagation with vision feedback.
+
+TPU-native re-design of the reference's VIMOTION
+(/root/reference/src/processing/vi_motion.cpp): a mutex-guarded deque of 400
+MOTION_STATE{pos, vel, q_w_i, imu} entries (vi_motion.h:10-17), a Madgwick
+complementary filter for attitude during init (vi_motion.cpp:34-115) and
+propagation (139-209), Euler position/velocity integration under gravity,
+a *feedforward* pose query at image timestamps for the tracker
+(viGetCorrFrameState, 416-435) with roll/pitch blending into the vision pose
+(viVisionRPCompensation, 437-464), and *feedback* accelerometer/gyro bias
+estimation from vision pose pairs with saturation and IIR smoothing
+(viCorrectionFromVision, 212-342).  This feedforward-feedback loop is the
+system's namesake.
+
+Here the deque becomes a fixed ring of arrays; a batch of IMU samples is
+integrated with one lax.scan; the state-index search (viFindStateIdx,
+348-383) is a vectorised argmin over timestamps; and the rebase of newer
+states onto a corrected pose (275-282) is a masked broadcast update.
+Everything is jit-safe fixed shape.
+
+Frame conventions: world = ENU with gravity -z (the nodelet remaps each
+device's IMU axes to ENU before feeding, vo_tracking.cpp:331-357 — our
+dataset drivers do the same on host).  q_w_i rotates IMU-frame vectors into
+world.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import VioConfig
+from ..geometry import se3 as se3m, so3
+from ..geometry.se3 import SE3
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class VioState:
+    # Ring buffer, chronological by slot age: `head` points at the slot the
+    # NEXT sample will overwrite; valid entries are the `count` most recent.
+    t: jax.Array           # (C,) seconds
+    pos: jax.Array         # (C, 3)
+    vel: jax.Array         # (C, 3)
+    q: jax.Array           # (C, 4) q_w_i
+    acc: jax.Array         # (C, 3) raw
+    gyro: jax.Array        # (C, 3) raw
+    head: jax.Array        # i32
+    count: jax.Array       # i32
+    bias_acc: jax.Array    # (3,)
+    bias_gyro: jax.Array   # (3,)
+    initialized: jax.Array  # bool
+    init_acc_sum: jax.Array   # (3,) gravity-direction accumulator
+    init_gyro_sum: jax.Array  # (3,)
+    init_count: jax.Array     # i32
+
+
+def init_state(cfg: VioConfig, dtype=jnp.float32) -> VioState:
+    c = cfg.imu_capacity
+    return VioState(
+        t=jnp.full(c, -1.0, dtype), pos=jnp.zeros((c, 3), dtype),
+        vel=jnp.zeros((c, 3), dtype),
+        q=jnp.tile(jnp.asarray([1.0, 0, 0, 0], dtype), (c, 1)),
+        acc=jnp.zeros((c, 3), dtype), gyro=jnp.zeros((c, 3), dtype),
+        head=jnp.asarray(0, jnp.int32), count=jnp.asarray(0, jnp.int32),
+        bias_acc=jnp.zeros(3, dtype), bias_gyro=jnp.zeros(3, dtype),
+        initialized=jnp.asarray(False),
+        init_acc_sum=jnp.zeros(3, dtype), init_gyro_sum=jnp.zeros(3, dtype),
+        init_count=jnp.asarray(0, jnp.int32),
+    )
+
+
+def _latest(state: VioState):
+    idx = (state.head - 1) % state.t.shape[0]
+    return idx
+
+
+def _attitude_from_gravity(acc):
+    """Initial roll/pitch from the measured gravity direction (yaw = 0) —
+    the attitude seed of viIMUinitialization (vi_motion.cpp:67-113)."""
+    a = acc / jnp.maximum(jnp.linalg.norm(acc), 1e-6)
+    roll = jnp.arctan2(a[1], a[2])
+    pitch = jnp.arctan2(-a[0], jnp.sqrt(a[1] ** 2 + a[2] ** 2))
+    return so3.from_euler_zyx(jnp.stack([roll, pitch, jnp.zeros_like(roll)]))
+
+
+def _madgwick_step(q, gyro, acc, beta, dt):
+    """One Madgwick complementary-filter update of q_w_i.
+
+    Gyro integration plus a gradient-descent correction pulling the predicted
+    gravity direction toward the accelerometer measurement, weighted by beta
+    (vifusion_para1) — vi_motion.cpp:160-190.
+    """
+    # Gyro propagation: q ← q ⊗ exp(ω dt).
+    q_prop = so3.mul(q, so3.exp(gyro * dt))
+    # Accel correction: rotate measured acc to world; error vs +z (ENU).
+    a_norm = jnp.linalg.norm(acc)
+    a = acc / jnp.maximum(a_norm, 1e-6)
+    g_pred = so3.rotate(so3.conj(q_prop), jnp.asarray([0.0, 0.0, 1.0], q.dtype))
+    err = jnp.cross(a, g_pred)  # rotation axis (IMU frame) aligning a → g_pred
+    # Only correct when the accelerometer is plausibly measuring gravity.
+    trust = jnp.exp(-jnp.abs(a_norm - 9.81) / 9.81 * 5.0)
+    # Proportional pull toward the accelerometer gravity direction with rate
+    # constant 10·beta rad/s per rad of error (beta=0.05 → τ = 2 s), the
+    # complementary-filter role of vifusion_para1 in the reference.
+    corr = so3.exp(-err * (10.0 * beta) * trust * dt)
+    return so3.normalize(so3.mul(q_prop, corr))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def imu_feed_batch(cfg: VioConfig, state: VioState, acc_batch, gyro_batch, t_batch):
+    """Integrate a batch of IMU samples (arrays (B, 3), (B, 3), (B,)).
+
+    Replaces the per-sample imu_feed callback path
+    (f2f_tracking.cpp:46-57 → viIMUinitialization / viIMUPropagation) with a
+    lax.scan, so an entire inter-frame IMU packet is one device program.
+    """
+    g_w = jnp.asarray([0.0, 0.0, -cfg.gravity])
+
+    def step(st, sample):
+        acc, gyro, t = sample
+
+        def do_init(st):
+            n = st.init_count + 1
+            acc_sum = st.init_acc_sum + acc
+            gyro_sum = st.init_gyro_sum + gyro
+            done = n >= cfg.init_samples
+            q0 = _attitude_from_gravity(acc_sum / n.astype(acc.dtype))
+            st = dataclasses.replace(
+                st,
+                init_acc_sum=acc_sum, init_gyro_sum=gyro_sum, init_count=n,
+                bias_gyro=jnp.where(done, gyro_sum / n.astype(acc.dtype), st.bias_gyro),
+                initialized=st.initialized | done,
+            )
+            # Seed the ring with the init attitude.
+            i = st.head
+            st = dataclasses.replace(
+                st,
+                t=st.t.at[i].set(t),
+                q=st.q.at[i].set(q0),
+                pos=st.pos.at[i].set(jnp.zeros(3, acc.dtype)),
+                vel=st.vel.at[i].set(jnp.zeros(3, acc.dtype)),
+                acc=st.acc.at[i].set(acc), gyro=st.gyro.at[i].set(gyro),
+                head=(st.head + 1) % cfg.imu_capacity,
+                count=jnp.minimum(st.count + 1, cfg.imu_capacity),
+            )
+            return st
+
+        def do_prop(st):
+            j = _latest(st)
+            dt = jnp.clip(t - st.t[j], 1e-4, 0.05)
+            q = _madgwick_step(
+                st.q[j], gyro - st.bias_gyro, acc - st.bias_acc,
+                cfg.madgwick_beta, dt,
+            )
+            # Position/velocity Euler integration with gravity
+            # (vi_motion.cpp:192-199).
+            acc_w = so3.rotate(q, acc - st.bias_acc) + g_w
+            vel = st.vel[j] + acc_w * dt
+            pos = st.pos[j] + st.vel[j] * dt + 0.5 * acc_w * dt * dt
+            i = st.head
+            return dataclasses.replace(
+                st,
+                t=st.t.at[i].set(t), q=st.q.at[i].set(q),
+                pos=st.pos.at[i].set(pos), vel=st.vel.at[i].set(vel),
+                acc=st.acc.at[i].set(acc), gyro=st.gyro.at[i].set(gyro),
+                head=(st.head + 1) % cfg.imu_capacity,
+                count=jnp.minimum(st.count + 1, cfg.imu_capacity),
+            )
+
+        st = jax.lax.cond(st.initialized, do_prop, do_init, st)
+        return st, None
+
+    state, _ = jax.lax.scan(step, state, (acc_batch, gyro_batch, t_batch))
+    return state
+
+
+def find_state_idx(state: VioState, t_query):
+    """Ring index of the newest state with t ≤ t_query (viFindStateIdx,
+    vi_motion.cpp:348-383).  Vectorised masked argmax over the ring."""
+    dt = t_query - state.t
+    dt = jnp.where((state.t >= 0) & (dt >= 0), dt, jnp.inf)
+    return jnp.argmin(dt)
+
+
+class FeedforwardPose(NamedTuple):
+    T_c_w: SE3
+    q_w_i: jax.Array
+    pos: jax.Array
+    vel: jax.Array
+    idx: jax.Array
+    ok: jax.Array
+
+
+@functools.partial(jax.jit, static_argnames=())
+def get_frame_state(state: VioState, t_img, T_i_c: SE3) -> FeedforwardPose:
+    """Feedforward: IMU pose prediction at an image timestamp
+    (viGetCorrFrameState, vi_motion.cpp:416-435).
+
+    T_i_c is the camera-in-IMU extrinsic; returns the predicted camera-from-
+    world pose for the tracker's LK/PnP initial guess.
+    """
+    i = find_state_idx(state, t_img)
+    q_w_i = state.q[i]
+    pos = state.pos[i]
+    T_w_i = SE3(q_w_i, pos)
+    T_w_c = se3m.compose(T_w_i, T_i_c)
+    T_c_w = se3m.inverse(T_w_c)
+    ok = state.initialized & (state.count > 0) & jnp.isfinite(state.t[i])
+    return FeedforwardPose(T_c_w, q_w_i, pos, state.vel[i], i, ok)
+
+
+def vision_rp_compensation(q_vision_w_i, q_imu_w_i, blend):
+    """Blend IMU roll/pitch into the vision attitude, keep vision yaw
+    (viVisionRPCompensation, vi_motion.cpp:437-464; weight = vifusion_para2).
+
+    Gravity makes roll/pitch observable from the IMU alone; yaw is not."""
+    rpy_v = so3.to_euler_zyx(q_vision_w_i)
+    rpy_i = so3.to_euler_zyx(q_imu_w_i)
+    blended = jnp.stack(
+        [
+            (1.0 - blend) * rpy_v[..., 0] + blend * rpy_i[..., 0],
+            (1.0 - blend) * rpy_v[..., 1] + blend * rpy_i[..., 1],
+            rpy_v[..., 2],
+        ],
+        axis=-1,
+    )
+    return so3.from_euler_zyx(blended)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def correction_from_vision(cfg: VioConfig, state: VioState, t_img, T_c_w_vision: SE3,
+                           T_i_c: SE3):
+    """Feedback: correct the IMU state history from a vision pose and update
+    bias estimates (viCorrectionFromVision, vi_motion.cpp:212-342).
+
+    - The IMU state at the image time is snapped to the vision pose.
+    - All newer states are rebased by the same correction transform
+      (vi_motion.cpp:275-282).
+    - Gyro/accel biases are nudged by the orientation/position innovation
+      with per-axis saturation and IIR smoothing (gains para_3/para_4,
+      saturations bw_sat/ba_sat; NaN-guarded as in vi_motion.cpp:297-315).
+    """
+    i = find_state_idx(state, t_img)
+    T_w_c = se3m.inverse(T_c_w_vision)
+    T_w_i_vis = se3m.compose(T_w_c, se3m.inverse(T_i_c))
+
+    q_err = so3.mul(so3.conj(state.q[i]), T_w_i_vis.q)   # imu-frame attitude error
+    rot_err = so3.log(so3.normalize(q_err))
+    pos_err = T_w_i_vis.t - state.pos[i]
+
+    # Bias feedback with saturation + IIR.
+    dbg = jnp.clip(-rot_err * cfg.gyro_bias_gain, -cfg.gyro_bias_sat, cfg.gyro_bias_sat)
+    acc_err_i = so3.rotate(so3.conj(state.q[i]), pos_err)
+    dba = jnp.clip(-acc_err_i * cfg.acc_bias_gain, -cfg.acc_bias_sat, cfg.acc_bias_sat)
+    bias_gyro = state.bias_gyro + jnp.where(jnp.isfinite(dbg), dbg, 0.0)
+    bias_acc = state.bias_acc + jnp.where(jnp.isfinite(dba), dba, 0.0)
+    bias_gyro = jnp.clip(bias_gyro, -cfg.gyro_bias_sat, cfg.gyro_bias_sat)
+    bias_acc = jnp.clip(bias_acc, -cfg.acc_bias_sat, cfg.acc_bias_sat)
+
+    # Rebase every state at or after t_img: x ← Δ ∘ x with Δ the world-frame
+    # correction that maps the old pose at i onto the vision pose.
+    newer = (state.t >= state.t[i]) & (state.t >= 0)
+    dq = so3.mul(T_w_i_vis.q, so3.conj(state.q[i]))
+    q_new = so3.normalize(so3.mul(dq[None, :], state.q))
+    pos_new = so3.rotate(dq[None, :], state.pos - state.pos[i][None, :]) + T_w_i_vis.t[None, :]
+    vel_new = so3.rotate(dq[None, :], state.vel)
+
+    return dataclasses.replace(
+        state,
+        q=jnp.where(newer[:, None], q_new, state.q),
+        pos=jnp.where(newer[:, None], pos_new, state.pos),
+        vel=jnp.where(newer[:, None], vel_new, state.vel),
+        bias_acc=bias_acc, bias_gyro=bias_gyro,
+    )

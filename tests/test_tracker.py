@@ -1,0 +1,136 @@
+"""Frontend tracker tests: landmark-table mechanics and a full synthetic
+visual-odometry run against ground truth (the golden-trajectory test the
+reference never had — it only validated via dataset replay, SURVEY.md §4)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flvis_tpu.config import FrontendConfig
+from flvis_tpu.frontend import landmark_table as lt
+from flvis_tpu.frontend import tracker
+from flvis_tpu.geometry import camera, se3, so3
+from flvis_tpu.io.synthetic import PlanarScene, SceneConfig, orbit_trajectory
+
+
+class TestLandmarkTable:
+    def test_fill_and_kill(self):
+        t = lt.empty(8)
+        cand = jnp.asarray([[1.0, 1], [2, 2], [3, 3], [4, 4]])
+        valid = jnp.asarray([True, False, True, True])
+        t2, nid = lt.fill_new_detections(t, cand, valid, se3.identity(), jnp.asarray(100))
+        assert int(lt.num_active(t2)) == 3
+        assert int(nid) == 103
+        ids = np.asarray(t2.lm_id)[np.asarray(t2.active)]
+        assert sorted(ids) == [100, 101, 102]
+        # Kill one slot and refill: id continues, slot reused.
+        dead = jnp.zeros(8, bool).at[0].set(True)
+        t3 = lt.kill(t2, dead)
+        assert int(lt.num_active(t3)) == 2
+        t4, nid2 = lt.fill_new_detections(
+            t3, jnp.asarray([[9.0, 9]]), jnp.asarray([True]), se3.identity(), nid
+        )
+        assert int(lt.num_active(t4)) == 3
+        assert int(nid2) == 104
+
+    def test_fill_respects_capacity(self):
+        t = lt.empty(4)
+        cand = jnp.ones((10, 2))
+        valid = jnp.ones(10, bool)
+        t2, nid = lt.fill_new_detections(t, cand, valid, se3.identity(), jnp.asarray(0))
+        assert int(lt.num_active(t2)) == 4
+        assert int(nid) == 4
+
+
+def small_cfg(**kw):
+    base = dict(
+        width=512, height=384, num_slots=128, pyramid_levels=3,
+        per_cell=8, min_distance=12.0, margin=22, lk_radius=10, lk_iters=12,
+    )
+    base.update(kw)
+    return FrontendConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def vo_run():
+    """Run the tracker over a rendered synthetic stereo sequence."""
+    scfg = SceneConfig()
+    scene = PlanarScene(scfg, plane_depth=8.0, seed=1)
+    poses = orbit_trajectory(25, step=0.03)
+    cfg = small_cfg()
+    cam = camera.make(scfg.fx, scfg.fy, scfg.cx, scfg.cy, scfg.baseline,
+                      width=scfg.width, height=scfg.height)
+    state = tracker.init_state(cfg)
+    est = []
+    outs = []
+    for (R, t) in poses:
+        img_l, img_r, _ = scene.render(R, t)
+        state, out = tracker.track_frame(
+            cfg, cam, state, jnp.asarray(img_l), jnp.asarray(img_r)
+        )
+        est.append((np.asarray(out.T_c_w.q), np.asarray(out.T_c_w.t)))
+        outs.append(out)
+    return poses, est, outs, state
+
+
+class TestVisualOdometry:
+    def test_tracks_without_failure(self, vo_run):
+        _, _, outs, state = vo_run
+        statuses = [int(o.status) for o in outs]
+        assert all(s == tracker.STATUS_TRACKING for s in statuses)
+        assert all(int(o.num_inliers) > 30 for o in outs[1:])
+
+    def test_trajectory_accuracy(self, vo_run):
+        poses, est, _, _ = vo_run
+        # Compare camera centres: C = -R^T t.
+        errs = []
+        for (R, t), (q_e, t_e) in zip(poses, est):
+            C_gt = -R.T @ t
+            R_e = np.asarray(so3.to_matrix(jnp.asarray(q_e)))
+            C_e = -R_e.T @ t_e
+            errs.append(np.linalg.norm(C_gt - C_e))
+        ate_rmse = np.sqrt(np.mean(np.square(errs)))
+        path_len = 0.03 * len(poses)
+        assert ate_rmse < 0.02 * path_len + 0.01, f"ATE {ate_rmse:.4f} over {path_len:.2f} m path"
+
+    def test_keyframe_cadence(self, vo_run):
+        _, _, outs, state = vo_run
+        kfs = sum(int(o.is_keyframe) for o in outs)
+        # Bootstrap phase inserts a KF at least every 5 frames.
+        assert kfs >= len(outs) // 5
+        assert int(state.kf_count) == kfs
+
+    def test_depth_convergence(self, vo_run):
+        _, _, _, state = vo_run
+        tab = state.table
+        active3d = np.asarray(tab.active & tab.has_3d)
+        assert active3d.sum() > 50
+        # Landmarks live on the z=8 world plane.
+        pz = np.asarray(tab.p_w)[active3d][:, 2]
+        assert np.abs(pz - 8.0).mean() < 0.25
+
+
+class TestFailureRecovery:
+    def test_blank_frames_trigger_fail_and_recover(self):
+        scfg = SceneConfig()
+        scene = PlanarScene(scfg, plane_depth=8.0, seed=2)
+        cfg = small_cfg()
+        cam = camera.make(scfg.fx, scfg.fy, scfg.cx, scfg.cy, scfg.baseline,
+                          width=scfg.width, height=scfg.height)
+        state = tracker.init_state(cfg)
+        R0, t0 = orbit_trajectory(1)[0]
+        img_l, img_r, _ = scene.render(R0, t0)
+        state, out = tracker.track_frame(cfg, cam, state, jnp.asarray(img_l), jnp.asarray(img_r))
+        assert int(out.status) == tracker.STATUS_TRACKING
+        # Feed a blank frame: tracking must fail, not crash.
+        blank = jnp.zeros_like(jnp.asarray(img_l))
+        state, out = tracker.track_frame(cfg, cam, state, blank, blank)
+        assert int(out.status) == tracker.STATUS_FAIL
+        # Next good frame re-initialises and flags a backend reset.
+        state, out = tracker.track_frame(cfg, cam, state, jnp.asarray(img_l), jnp.asarray(img_r))
+        assert int(out.status) == tracker.STATUS_TRACKING
+        assert bool(out.reset_backend)
+        assert bool(out.is_keyframe)

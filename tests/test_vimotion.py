@@ -1,0 +1,133 @@
+"""VIMOTION tests: Madgwick attitude, propagation, feedforward/feedback."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from flvis_tpu.config import VioConfig
+from flvis_tpu.geometry import se3, so3
+from flvis_tpu.vio import vimotion
+
+
+CFG = VioConfig(imu_capacity=256, init_samples=20)
+
+
+def static_samples(n, dt=0.005, t0=0.0, rpy=(0.0, 0.0, 0.0), rng=None, noise=0.0):
+    """IMU at rest with attitude rpy (world ENU, gravity -z): accelerometer
+    measures +g rotated into the IMU frame."""
+    q = so3.from_euler_zyx(jnp.asarray(rpy))
+    g_imu = np.asarray(so3.rotate(so3.conj(q), jnp.asarray([0.0, 0.0, 9.81])))
+    acc = np.tile(g_imu, (n, 1))
+    gyro = np.zeros((n, 3))
+    if rng is not None and noise > 0:
+        acc = acc + rng.normal(scale=noise, size=acc.shape)
+        gyro = gyro + rng.normal(scale=noise * 0.1, size=gyro.shape)
+    t = t0 + dt * np.arange(1, n + 1)
+    return jnp.asarray(acc, jnp.float32), jnp.asarray(gyro, jnp.float32), jnp.asarray(t, jnp.float32)
+
+
+class TestInit:
+    def test_initializes_after_enough_samples(self):
+        st = vimotion.init_state(CFG)
+        acc, gyro, t = static_samples(19)
+        st = vimotion.imu_feed_batch(CFG, st, acc, gyro, t)
+        assert not bool(st.initialized)
+        acc, gyro, t = static_samples(5, t0=float(t[-1]))
+        st = vimotion.imu_feed_batch(CFG, st, acc, gyro, t)
+        assert bool(st.initialized)
+
+    def test_init_attitude_matches_gravity(self):
+        st = vimotion.init_state(CFG)
+        rpy = (0.15, -0.1, 0.0)
+        acc, gyro, t = static_samples(40, rpy=rpy)
+        st = vimotion.imu_feed_batch(CFG, st, acc, gyro, t)
+        i = int((st.head - 1) % CFG.imu_capacity)
+        got = np.asarray(so3.to_euler_zyx(st.q[i]))
+        np.testing.assert_allclose(got[:2], rpy[:2], atol=0.02)
+
+    def test_gyro_bias_from_init(self, rng):
+        st = vimotion.init_state(CFG)
+        acc, gyro, t = static_samples(40)
+        gyro = gyro + jnp.asarray([0.01, -0.02, 0.005])
+        st = vimotion.imu_feed_batch(CFG, st, acc, gyro, t)
+        np.testing.assert_allclose(st.bias_gyro, [0.01, -0.02, 0.005], atol=1e-4)
+
+
+class TestPropagation:
+    def _init(self):
+        st = vimotion.init_state(CFG)
+        acc, gyro, t = static_samples(30)
+        return vimotion.imu_feed_batch(CFG, st, acc, gyro, t), float(t[-1])
+
+    def test_static_stays_put(self):
+        st, t0 = self._init()
+        acc, gyro, t = static_samples(100, t0=t0)
+        st = vimotion.imu_feed_batch(CFG, st, acc, gyro, t)
+        i = int((st.head - 1) % CFG.imu_capacity)
+        np.testing.assert_allclose(st.pos[i], 0.0, atol=0.01)
+        np.testing.assert_allclose(st.vel[i], 0.0, atol=0.02)
+
+    def test_yaw_rotation_integrates(self):
+        st, t0 = self._init()
+        # Rotate about world z at 0.5 rad/s for 1 s; gravity stays aligned.
+        n, dt = 200, 0.005
+        gyro = np.tile([0.0, 0.0, 0.5], (n, 1)).astype(np.float32)
+        acc = np.tile([0.0, 0.0, 9.81], (n, 1)).astype(np.float32)
+        t = t0 + dt * np.arange(1, n + 1)
+        st = vimotion.imu_feed_batch(CFG, st, jnp.asarray(acc), jnp.asarray(gyro), jnp.asarray(t, jnp.float32))
+        i = int((st.head - 1) % CFG.imu_capacity)
+        rpy = np.asarray(so3.to_euler_zyx(st.q[i]))
+        np.testing.assert_allclose(rpy[2], 0.5, atol=0.02)
+
+    def test_acceleration_integrates_position(self):
+        st, t0 = self._init()
+        # 1 m/s² along world x for 0.5 s → p = 0.125 m, v = 0.5 m/s.  The
+        # complementary filter inevitably tilts slightly under sustained
+        # lateral acceleration (vision feedback corrects that in the full
+        # system), so tolerances are loose but catch sign/scale errors.
+        n, dt = 100, 0.005
+        acc = np.tile([1.0, 0.0, 9.81], (n, 1)).astype(np.float32)
+        gyro = np.zeros((n, 3), np.float32)
+        t = t0 + dt * np.arange(1, n + 1)
+        st = vimotion.imu_feed_batch(CFG, st, jnp.asarray(acc), jnp.asarray(gyro), jnp.asarray(t, jnp.float32))
+        i = int((st.head - 1) % CFG.imu_capacity)
+        np.testing.assert_allclose(st.pos[i], [0.125, 0, 0], atol=0.05)
+        np.testing.assert_allclose(st.vel[i], [0.5, 0, 0], atol=0.1)
+
+
+class TestFeedforwardFeedback:
+    def _init(self):
+        st = vimotion.init_state(CFG)
+        acc, gyro, t = static_samples(60)
+        return vimotion.imu_feed_batch(CFG, st, acc, gyro, t), float(t[-1])
+
+    def test_get_frame_state(self):
+        st, t0 = self._init()
+        T_i_c = se3.identity()
+        ff = vimotion.get_frame_state(st, jnp.asarray(t0 - 0.001), T_i_c)
+        assert bool(ff.ok)
+        np.testing.assert_allclose(ff.T_c_w.t, 0.0, atol=1e-3)
+
+    def test_find_state_idx_picks_older(self):
+        st, t0 = self._init()
+        idx = int(vimotion.find_state_idx(st, jnp.asarray(t0 + 100.0)))
+        assert float(st.t[idx]) <= t0 + 100.0
+        # Newest entry wins for far-future queries.
+        assert idx == int((st.head - 1) % CFG.imu_capacity)
+
+    def test_correction_rebases_states(self):
+        st, t0 = self._init()
+        acc, gyro, t = static_samples(50, t0=t0)
+        st = vimotion.imu_feed_batch(CFG, st, acc, gyro, t)
+        # Vision says the IMU was actually 1 m along x at t0 (same attitude).
+        T_w_i = se3.SE3(so3.identity(), jnp.asarray([1.0, 0.0, 0.0]))
+        T_c_w_vision = se3.inverse(T_w_i)  # T_i_c = identity
+        st2 = vimotion.correction_from_vision(CFG, st, jnp.asarray(t0), T_c_w_vision, se3.identity())
+        i = int((st2.head - 1) % CFG.imu_capacity)
+        np.testing.assert_allclose(st2.pos[i], [1.0, 0, 0], atol=0.02)
+
+    def test_rp_compensation_blends(self):
+        qv = so3.from_euler_zyx(jnp.asarray([0.1, 0.0, 0.7]))
+        qi = so3.from_euler_zyx(jnp.asarray([0.0, 0.2, 0.3]))
+        out = vimotion.vision_rp_compensation(qv, qi, 0.5)
+        rpy = np.asarray(so3.to_euler_zyx(out))
+        np.testing.assert_allclose(rpy, [0.05, 0.1, 0.7], atol=1e-5)
