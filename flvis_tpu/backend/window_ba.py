@@ -1,0 +1,402 @@
+"""Sliding-window structure-and-motion bundle adjustment.
+
+TPU-native replacement for the reference's LocalMapNodeletClass + PoseLMBag +
+g2o (/root/reference/src/backend/vo_localmap.cpp:87-380, poselmbag.cpp:5-208):
+a window of `window_size` keyframe poses (default 10, oldest fixed) and the
+landmarks they observe, optimized with Levenberg-Marquardt where landmark
+blocks are eliminated by a Schur complement — the batched-array equivalent of
+g2o's BlockSolver_6_3 with `setMarginalized(true)` landmarks
+(vo_localmap.cpp:127-216).
+
+Data layout (all fixed shape, lives on device):
+  poses      (W, ·)  ring buffer — adding the (W+1)-th keyframe overwrites the
+                     oldest slot, exactly PoseLMBag::addPose's covering ring
+                     (poselmbag.cpp:110-136)
+  landmarks  (L, ·)  slot table keyed by global landmark id; slots whose
+                     observation count drops to zero are freed (the
+                     refcounting of addLMObservation/removeLMObservation)
+  obs        (W, L)  dense masked observation matrix (uv + valid).  W·L is
+                     small (10×1024), so dense-masked beats sparse indexing
+                     on TPU by a mile.
+
+The LM schedule mirrors the reference: optimize(12) → cull chi²>thr edges →
+optimize(8) (vo_localmap.cpp:292-319), then export the newest pose, the
+positions of landmarks with ≥ min_views views (vo_localmap.cpp:320-357), and
+outlier ids — the CorrectionInf feedback message equivalent.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import BackendConfig
+from ..geometry import se3 as se3m, so3
+from ..geometry.camera import StereoCamera, project
+from ..geometry.se3 import SE3
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class WindowState:
+    kf_q: jax.Array         # (W, 4) T_c_w rotation
+    kf_t: jax.Array         # (W, 3)
+    kf_frame_id: jax.Array  # (W,) i32, -1 = empty
+    kf_valid: jax.Array     # (W,) bool
+    lm_pw: jax.Array        # (L, 3)
+    lm_id: jax.Array        # (L,) i32, -1 = empty
+    lm_valid: jax.Array     # (L,) bool
+    obs_uv: jax.Array       # (W, L, 2)
+    obs_ur: jax.Array       # (W, L) right-image u for stereo residuals
+    obs_ur_valid: jax.Array  # (W, L) bool
+    obs_valid: jax.Array    # (W, L) bool
+    head: jax.Array         # i32 ring position
+    count: jax.Array        # i32 number of KFs ever added (saturating at W)
+
+    @property
+    def window(self) -> int:
+        return self.kf_q.shape[0]
+
+    @property
+    def capacity(self) -> int:
+        return self.lm_pw.shape[0]
+
+    def poses(self) -> SE3:
+        return SE3(self.kf_q, self.kf_t)
+
+
+class KeyframePacket(NamedTuple):
+    """The /vo_kf wire format equivalent (msg/KeyFrame.msg: frame_id, lm ids,
+    2d, 3d arrays, T_c_w — keyframe_msg.cpp:30-124), minus the images the
+    reference ships (our loop-closing node receives its own feature arrays)."""
+
+    frame_id: jax.Array   # i32
+    q: jax.Array          # (4,) T_c_w
+    t: jax.Array          # (3,)
+    lm_id: jax.Array      # (N,) i32
+    lm_uv: jax.Array      # (N, 2)
+    lm_ur: jax.Array      # (N,) right-image u (stereo residual; scale anchor)
+    lm_ur_mask: jax.Array  # (N,) bool — fresh stereo measurement exists
+    lm_pw: jax.Array      # (N, 3)
+    lm_mask: jax.Array    # (N,) bool
+
+
+class Correction(NamedTuple):
+    """CorrectionInf equivalent (msg/CorrectionInf.msg, correction_inf_msg.cpp:
+    13-106): corrected newest-KF pose, corrected multi-view landmark
+    positions, and outlier landmark ids."""
+
+    frame_id: jax.Array
+    q: jax.Array          # (4,)
+    t: jax.Array          # (3,)
+    lm_id: jax.Array      # (L,) i32 (-1 padding)
+    lm_pw: jax.Array      # (L, 3)
+    lm_mask: jax.Array    # (L,) bool
+    outlier_id: jax.Array  # (L,) i32 (-1 padding)
+    outlier_mask: jax.Array  # (L,) bool
+    valid: jax.Array      # bool — window full & optimization ran
+
+
+def empty(cfg: BackendConfig, dtype=jnp.float32) -> WindowState:
+    w, l = cfg.window_size, cfg.max_landmarks
+    return WindowState(
+        kf_q=jnp.tile(jnp.asarray([1.0, 0, 0, 0], dtype), (w, 1)),
+        kf_t=jnp.zeros((w, 3), dtype),
+        kf_frame_id=jnp.full(w, -1, jnp.int32),
+        kf_valid=jnp.zeros(w, bool),
+        lm_pw=jnp.zeros((l, 3), dtype),
+        lm_id=jnp.full(l, -1, jnp.int32),
+        lm_valid=jnp.zeros(l, bool),
+        obs_uv=jnp.zeros((w, l, 2), dtype),
+        obs_ur=jnp.zeros((w, l), dtype),
+        obs_ur_valid=jnp.zeros((w, l), bool),
+        obs_valid=jnp.zeros((w, l), bool),
+        head=jnp.asarray(0, jnp.int32),
+        count=jnp.asarray(0, jnp.int32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def add_keyframe(cfg: BackendConfig, state: WindowState, kf: KeyframePacket) -> WindowState:
+    """Ring-insert a keyframe and merge its landmark observations.
+
+    Covers the window-init and slide paths of the reference
+    (vo_localmap.cpp:122-284): the oldest pose slot is overwritten, its
+    observations dropped, landmarks orphaned by the slide are freed, and the
+    new frame's landmarks are matched to existing slots by id or allocated.
+    """
+    w = state.window
+    L = state.capacity
+    slot = state.head
+
+    # --- overwrite oldest pose slot -----------------------------------------
+    state = dataclasses.replace(
+        state,
+        kf_q=state.kf_q.at[slot].set(kf.q),
+        kf_t=state.kf_t.at[slot].set(kf.t),
+        kf_frame_id=state.kf_frame_id.at[slot].set(kf.frame_id),
+        kf_valid=state.kf_valid.at[slot].set(True),
+        obs_valid=state.obs_valid.at[slot].set(False),
+        obs_ur_valid=state.obs_ur_valid.at[slot].set(False),
+        head=(state.head + 1) % w,
+        count=jnp.minimum(state.count + 1, w),
+    )
+
+    # --- match packet landmarks to existing slots by id ---------------------
+    n = kf.lm_id.shape[0]
+    # (N, L) id equality (ids are unique per slot).
+    eq = (kf.lm_id[:, None] == state.lm_id[None, :]) & state.lm_valid[None, :] & kf.lm_mask[:, None]
+    match_slot = jnp.argmax(eq, axis=1)            # (N,)
+    has_match = jnp.any(eq, axis=1)
+
+    # --- allocate slots for unmatched landmarks -----------------------------
+    need = kf.lm_mask & ~has_match
+    free = ~state.lm_valid
+    free_slots = jnp.nonzero(free, size=L, fill_value=L)[0]
+    need_rank = jnp.cumsum(need) - 1
+    num_free = jnp.sum(free)
+    can_alloc = need & (need_rank < num_free)
+    alloc_slot = free_slots[jnp.clip(need_rank, 0, L - 1)]
+
+    tgt = jnp.where(has_match, match_slot, jnp.where(can_alloc, alloc_slot, L))  # L = dump
+
+    def scatter(dst, src, fill=None):
+        pad = jnp.zeros((1,) + dst.shape[1:], dst.dtype)
+        return jnp.concatenate([dst, pad], 0).at[tgt].set(src)[:-1]
+
+    use = kf.lm_mask & (has_match | can_alloc)
+    # New slots get the packet's world position; existing keep the window's
+    # current estimate (the backend owns refined positions).
+    lm_pw = jnp.concatenate([state.lm_pw, jnp.zeros((1, 3), state.lm_pw.dtype)], 0)
+    lm_pw = lm_pw.at[jnp.where(can_alloc & use, tgt, L)].set(kf.lm_pw)[:-1]
+    lm_id = jnp.concatenate([state.lm_id, jnp.zeros((1,), jnp.int32)], 0)
+    lm_id = lm_id.at[jnp.where(use, tgt, L)].set(kf.lm_id)[:-1]
+    lm_valid = jnp.concatenate([state.lm_valid, jnp.zeros((1,), bool)], 0)
+    lm_valid = lm_valid.at[jnp.where(use, tgt, L)].set(True)[:-1]
+
+    obs_row_uv = jnp.zeros((L + 1, 2), state.obs_uv.dtype).at[jnp.where(use, tgt, L)].set(kf.lm_uv)[:-1]
+    obs_row_valid = jnp.zeros((L + 1,), bool).at[jnp.where(use, tgt, L)].set(True)[:-1]
+    obs_row_ur = jnp.zeros((L + 1,), state.obs_ur.dtype).at[jnp.where(use, tgt, L)].set(kf.lm_ur)[:-1]
+    ur_use = use & kf.lm_ur_mask
+    obs_row_ur_valid = jnp.zeros((L + 1,), bool).at[jnp.where(ur_use, tgt, L)].set(True)[:-1]
+
+    obs_uv = state.obs_uv.at[slot].set(obs_row_uv)
+    obs_valid = state.obs_valid.at[slot].set(obs_row_valid)
+    obs_ur = state.obs_ur.at[slot].set(obs_row_ur)
+    obs_ur_valid = state.obs_ur_valid.at[slot].set(obs_row_ur_valid)
+
+    # --- free orphaned landmark slots (PoseLMBag refcount semantics) --------
+    views = jnp.sum(obs_valid, axis=0)
+    lm_valid = lm_valid & (views > 0)
+    obs_valid = obs_valid & lm_valid[None, :]
+    obs_ur_valid = obs_ur_valid & obs_valid
+
+    return dataclasses.replace(
+        state, lm_pw=lm_pw, lm_id=lm_id, lm_valid=lm_valid,
+        obs_uv=obs_uv, obs_valid=obs_valid,
+        obs_ur=obs_ur, obs_ur_valid=obs_ur_valid,
+    )
+
+
+def _residuals(cam: StereoCamera, poses: SE3, lm_pw, obs_uv, obs_ur, ur_valid):
+    """(W, L, 3) stereo reprojection residuals [Δu_l, Δv, Δu_r] + points.
+
+    The third (right-camera) component is zeroed where no stereo measurement
+    exists; it anchors metric scale, which the reference's monocular g2o
+    edges (EdgeSE3ProjectXYZ) leave as a slow gauge drift."""
+    p_c = so3.rotate(poses.q[:, None, :], lm_pw[None, :, :]) + poses.t[:, None, :]
+    uv = project(cam, p_c)
+    z = jnp.where(jnp.abs(p_c[..., 2]) < 1e-6, 1e-6, p_c[..., 2])
+    ur_pred = uv[..., 0] - cam.fx * cam.baseline / z
+    r_ur = jnp.where(ur_valid, ur_pred - obs_ur, 0.0)
+    r = jnp.concatenate([uv - obs_uv, r_ur[..., None]], axis=-1)
+    return r, p_c
+
+
+def _jacobians(cam: StereoCamera, poses: SE3, p_c, ur_valid):
+    """J_pose (W, L, 3, 6) wrt left-retraction of each pose, and
+    J_lm (W, L, 3, 3) wrt landmark world position (rows: u_l, v, u_r)."""
+    x, y = p_c[..., 0], p_c[..., 1]
+    z = jnp.where(jnp.abs(p_c[..., 2]) < 1e-6, 1e-6, p_c[..., 2])
+    iz = 1.0 / z
+    iz2 = iz * iz
+    zero = jnp.zeros_like(iz)
+    urm = ur_valid.astype(p_c.dtype)
+    duv = jnp.stack(
+        [
+            jnp.stack([cam.fx * iz, zero, -cam.fx * x * iz2], -1),
+            jnp.stack([zero, cam.fy * iz, -cam.fy * y * iz2], -1),
+            jnp.stack([cam.fx * iz * urm, zero,
+                       (-cam.fx * x * iz2 + cam.fx * cam.baseline * iz2) * urm], -1),
+        ],
+        axis=-2,
+    )  # (W, L, 3, 3)
+    I = jnp.broadcast_to(jnp.eye(3), p_c.shape[:-1] + (3, 3))
+    dp_pose = jnp.concatenate([I, -so3.hat(p_c)], axis=-1)       # (W, L, 3, 6)
+    J_pose = duv @ dp_pose
+    R = so3.to_matrix(poses.q)                                   # (W, 3, 3)
+    J_lm = duv @ R[:, None, :, :]
+    return J_pose, J_lm
+
+
+def _robust_weights(r, delta):
+    r2 = jnp.sum(r * r, axis=-1)
+    rn = jnp.sqrt(jnp.maximum(r2, 1e-12))
+    return jnp.where(rn <= delta, 1.0, delta / rn), r2
+
+
+def _total_cost(r, w_mask, delta):
+    r2 = jnp.sum(r * r, axis=-1)
+    rn = jnp.sqrt(jnp.maximum(r2, 1e-12))
+    rho = jnp.where(rn <= delta, 0.5 * r2, delta * (rn - 0.5 * delta))
+    return jnp.sum(jnp.where(w_mask, rho, 0.0))
+
+
+def _schur_step(cam, poses: SE3, lm_pw, obs, w_mask, fixed_pose, lam, delta):
+    """One damped Schur-complement LM step.  Returns (new_poses, new_lm_pw)."""
+    obs_uv, obs_ur, ur_valid = obs
+    W = poses.q.shape[0]
+    r, p_c = _residuals(cam, poses, lm_pw, obs_uv, obs_ur, ur_valid)
+    Jp, Jl = _jacobians(cam, poses, p_c, ur_valid)
+    huber, _ = _robust_weights(r, delta)
+    wgt = jnp.where(w_mask, huber, 0.0)
+
+    # Zero the fixed pose's Jacobian → its delta stays 0 (gauge).
+    Jp = jnp.where(fixed_pose[:, None, None, None], 0.0, Jp)
+
+    Hpp = jnp.einsum("wlik,wl,wlim->wkm", Jp, wgt, Jp)            # (W, 6, 6)
+    Hll = jnp.einsum("wlik,wl,wlim->lkm", Jl, wgt, Jl)            # (L, 3, 3)
+    Hpl = jnp.einsum("wlik,wl,wlim->wlkm", Jp, wgt, Jl)           # (W, L, 6, 3)
+    bp = -jnp.einsum("wlik,wl,wli->wk", Jp, wgt, r)               # (W, 6)
+    bl = -jnp.einsum("wlik,wl,wli->lk", Jl, wgt, r)               # (L, 3)
+
+    # Damp and invert landmark blocks.
+    Hll_d = Hll + (lam * jnp.eye(3))[None] * jnp.maximum(
+        jnp.trace(Hll, axis1=-2, axis2=-1)[:, None, None] / 3.0, 1e-6
+    ) + 1e-8 * jnp.eye(3)[None]
+    Hll_inv = jnp.linalg.inv(Hll_d)
+
+    # Schur complement of the landmark block.
+    A = jnp.einsum("wlkm,lmn->wlkn", Hpl, Hll_inv)                # (W, L, 6, 3)
+    S_red = jnp.einsum("wlkn,vlmn->wvkm", A, Hpl)                 # (W, W, 6, 6)
+    Hpp_d = Hpp + (lam * jnp.eye(6))[None] * jnp.maximum(
+        jnp.trace(Hpp, axis1=-2, axis2=-1)[:, None, None] / 6.0, 1e-6
+    )
+    S = -S_red
+    S = S.at[jnp.arange(W), jnp.arange(W)].add(Hpp_d)
+    S = S.transpose(0, 2, 1, 3).reshape(6 * W, 6 * W)
+    rhs = bp - jnp.einsum("wlkn,ln->wk", A, bl)
+
+    # Make the fixed pose's rows/cols an identity block so the solve is well-
+    # posed with delta = 0 there.
+    fixmat = jnp.repeat(fixed_pose, 6)
+    S = jnp.where(fixmat[:, None] | fixmat[None, :], 0.0, S)
+    S = S + jnp.diag(jnp.where(fixmat, 1.0, 1e-9))
+    rhs = jnp.where(fixed_pose[:, None], 0.0, rhs)
+
+    dp = jnp.linalg.solve(S, rhs.reshape(-1)).reshape(W, 6)
+
+    # Back-substitute landmarks.
+    dl = jnp.einsum("lkm,lm->lk", Hll_inv, bl - jnp.einsum("wlkm,wk->lm", Hpl, dp))
+
+    new_poses = se3m.retract_left(poses, dp)
+    return new_poses, lm_pw + dl
+
+
+def _lm_loop(cam, poses, lm_pw, obs, w_mask, fixed_pose, iters: int, delta):
+    obs_uv, obs_ur, ur_valid = obs
+
+    def body(_, carry):
+        poses, lm_pw, lam, cost = carry
+        new_poses, new_lm = _schur_step(cam, poses, lm_pw, obs, w_mask, fixed_pose, lam, delta)
+        r, _ = _residuals(cam, new_poses, new_lm, obs_uv, obs_ur, ur_valid)
+        new_cost = _total_cost(r, w_mask, delta)
+        better = new_cost < cost
+        poses = jax.tree.map(lambda a, b: jnp.where(better, b, a), poses, new_poses)
+        lm_pw = jnp.where(better, new_lm, lm_pw)
+        lam = jnp.where(better, jnp.maximum(lam * 0.3, 1e-7), jnp.minimum(lam * 5.0, 1e3))
+        cost = jnp.where(better, new_cost, cost)
+        return poses, lm_pw, lam, cost
+
+    r0, _ = _residuals(cam, poses, lm_pw, obs_uv, obs_ur, ur_valid)
+    cost0 = _total_cost(r0, w_mask, delta)
+    poses, lm_pw, _, cost = jax.lax.fori_loop(0, iters, body, (poses, lm_pw, 1e-4, cost0))
+    return poses, lm_pw, cost
+
+
+class BAResult(NamedTuple):
+    state: WindowState
+    correction: Correction
+    cost: jax.Array
+    num_obs: jax.Array
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def optimize(cfg: BackendConfig, cam: StereoCamera, state: WindowState) -> BAResult:
+    """Run the two-phase windowed BA and produce the feedback Correction.
+
+    No-ops (valid=False correction) until the window holds ≥ 3 keyframes,
+    matching the reference's UN_INITIALIZED gate (vo_localmap.cpp:100-121).
+    """
+    poses = state.poses()
+    w_mask = state.obs_valid & state.kf_valid[:, None] & state.lm_valid[None, :]
+
+    # Oldest valid KF is the gauge anchor (vo_localmap.cpp:159-162).
+    fid = jnp.where(state.kf_valid, state.kf_frame_id, jnp.iinfo(jnp.int32).max)
+    fixed_pose = jnp.arange(state.window) == jnp.argmin(fid)
+
+    obs = (state.obs_uv, state.obs_ur, state.obs_ur_valid & w_mask)
+    # Phase 1.
+    poses1, lm1, _ = _lm_loop(cam, poses, state.lm_pw, obs, w_mask,
+                              fixed_pose, cfg.iters1, cfg.huber_delta)
+    # Edge cull: chi² > thr (vo_localmap.cpp:292-319).
+    r1, _ = _residuals(cam, poses1, lm1, *obs)
+    chi2 = jnp.sum(r1 * r1, axis=-1)
+    w_mask2 = w_mask & (chi2 < cfg.chi2_cull)
+    # Phase 2.
+    obs2 = (state.obs_uv, state.obs_ur, state.obs_ur_valid & w_mask2)
+    poses2, lm2, cost = _lm_loop(cam, poses1, lm1, obs2, w_mask2,
+                                 fixed_pose, cfg.iters2, cfg.huber_delta)
+
+    ready = state.count >= 3
+    poses_out = jax.tree.map(lambda a, b: jnp.where(ready, b, a), poses, poses2)
+    lm_out = jnp.where(ready, lm2, state.lm_pw)
+
+    # Landmarks that lost all observations in the cull are outliers
+    # (exported as CorrectionInf outlier ids, vo_localmap.cpp:320-366).
+    views_before = jnp.sum(w_mask, axis=0)
+    views_after = jnp.sum(w_mask2, axis=0)
+    outlier = state.lm_valid & (views_before > 0) & (views_after == 0) & ready
+    obs_valid_new = jnp.where(ready, state.obs_valid & w_mask2, state.obs_valid)
+    lm_valid_new = state.lm_valid & ~outlier
+
+    new_state = dataclasses.replace(
+        state,
+        kf_q=poses_out.q, kf_t=poses_out.t, lm_pw=lm_out,
+        obs_valid=obs_valid_new, lm_valid=lm_valid_new,
+    )
+
+    # Newest KF = slot before head.
+    newest = (state.head - 1) % state.window
+    multiview = lm_valid_new & (views_after >= cfg.min_views)
+    corr = Correction(
+        frame_id=state.kf_frame_id[newest],
+        q=poses_out.q[newest], t=poses_out.t[newest],
+        lm_id=jnp.where(multiview, state.lm_id, -1),
+        lm_pw=lm_out,
+        lm_mask=multiview,
+        outlier_id=jnp.where(outlier, state.lm_id, -1),
+        outlier_mask=outlier,
+        valid=ready,
+    )
+    return BAResult(new_state, corr, cost, jnp.sum(w_mask2))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def reset(cfg: BackendConfig, state: WindowState) -> WindowState:
+    """Full wipe — the KFMSG_CMD_RESET_LM handler (vo_localmap.cpp:89-98)."""
+    return empty(cfg, state.lm_pw.dtype)

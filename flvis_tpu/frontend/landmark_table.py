@@ -35,6 +35,15 @@ class LandmarkTable:
     inlier: jax.Array      # (N,) bool — survived this frame's gates
     age: jax.Array         # (N,) int32 frames tracked
     lm_id: jax.Array       # (N,) int32 global landmark id (-1 = empty)
+    # Latest stereo measurement: right-image u coordinate (u_r = u - disparity)
+    # — exported to the window BA as a scale-fixing stereo residual.
+    ur: jax.Array          # (N,)
+    ur_ok: jax.Array       # (N,) bool — fresh stereo measurement this frame
+    # Depth bootstrap/integrity: a slot only gains 3D after two consistent
+    # stereo measurements, and loses it after repeated inconsistent ones.
+    z_pend: jax.Array      # (N,) pending first depth measurement
+    pend_ok: jax.Array     # (N,) bool
+    rej_count: jax.Array   # (N,) i32 consecutive innovation rejections
     # First observation, kept for motion triangulation
     # (LandMarkInFrame stores first-obs pose+pixel, landmark.h:21-28).
     obs0_uv: jax.Array     # (N, 2)
@@ -58,6 +67,11 @@ def empty(num_slots: int, dtype=jnp.float32) -> LandmarkTable:
         inlier=jnp.zeros(num_slots, bool),
         age=jnp.zeros(num_slots, jnp.int32),
         lm_id=jnp.full(num_slots, -1, jnp.int32),
+        ur=jnp.zeros(num_slots, dtype),
+        ur_ok=jnp.zeros(num_slots, bool),
+        z_pend=jnp.zeros(num_slots, dtype),
+        pend_ok=jnp.zeros(num_slots, bool),
+        rej_count=jnp.zeros(num_slots, jnp.int32),
         obs0_uv=jnp.zeros((num_slots, 2), dtype),
         obs0_q=jnp.tile(jnp.asarray([1.0, 0, 0, 0], dtype), (num_slots, 1)),
         obs0_t=jnp.zeros((num_slots, 3), dtype),
@@ -105,6 +119,11 @@ def fill_new_detections(table: LandmarkTable, cand_uv, cand_valid, T_c_w: SE3,
         inlier=scatter(table.inlier, jnp.ones(m, bool)),
         age=scatter(table.age, jnp.zeros(m, jnp.int32)),
         lm_id=scatter(table.lm_id, new_ids),
+        ur=scatter(table.ur, jnp.zeros(m, table.ur.dtype)),
+        ur_ok=scatter(table.ur_ok, jnp.zeros(m, bool)),
+        z_pend=scatter(table.z_pend, jnp.zeros(m, table.z_pend.dtype)),
+        pend_ok=scatter(table.pend_ok, jnp.zeros(m, bool)),
+        rej_count=scatter(table.rej_count, jnp.zeros(m, jnp.int32)),
         obs0_uv=scatter(table.obs0_uv, cand_uv),
         obs0_q=scatter(table.obs0_q, q0),
         obs0_t=scatter(table.obs0_t, t0),

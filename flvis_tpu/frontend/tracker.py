@@ -66,6 +66,13 @@ class TrackerState:
     last_kf_T: SE3
     kf_count: jax.Array        # i32
     frames_since_kf: jax.Array # i32
+    # Pose record ring for late-arriving backend corrections — the reference
+    # keeps a deque of 1000 pose records and rebases them when CorrectionInf
+    # arrives K frames late (f2f_tracking.cpp:189-219, 329-337).
+    ring_q: jax.Array          # (R, 4)
+    ring_t: jax.Array          # (R, 3)
+    ring_fid: jax.Array        # (R,) i32 frame id, -1 empty
+    ring_head: jax.Array       # i32
 
 
 class FrameOutput(NamedTuple):
@@ -94,6 +101,10 @@ def init_state(cfg: FrontendConfig, dtype=jnp.float32) -> TrackerState:
         last_kf_T=I,
         kf_count=jnp.asarray(0, jnp.int32),
         frames_since_kf=jnp.asarray(0, jnp.int32),
+        ring_q=jnp.tile(jnp.asarray([1.0, 0, 0, 0], dtype), (64, 1)),
+        ring_t=jnp.zeros((64, 3), dtype),
+        ring_fid=jnp.full(64, -1, jnp.int32),
+        ring_head=jnp.asarray(0, jnp.int32),
     )
 
 
@@ -121,7 +132,12 @@ def _measure_depth(cfg: FrontendConfig, cam: StereoCamera, pyr0, pyr1, table: lt
     closed-form rectified-disparity depth.
     """
     p_c = se3m.transform_points(T_c_w, table.p_w)
-    z_prior = jnp.where(table.has_3d, p_c[:, 2], 4.0)
+    # Disparity prior: own depth where known, else the median depth of the
+    # current 3D landmarks (scene-adaptive; a fixed wrong prior can trap the
+    # stereo LK in false minima on self-similar texture).
+    z3d = jnp.where(table.has_3d & table.active, p_c[:, 2], jnp.nan)
+    z_med = jnp.nan_to_num(jnp.nanmedian(z3d), nan=4.0)
+    z_prior = jnp.where(table.has_3d, p_c[:, 2], z_med)
     disp_guess = cam.fx * cam.baseline / jnp.clip(z_prior, cfg.depth_min, cfg.depth_max)
     disp, ok = lk_ops.stereo_lk(pyr0, pyr1, table.uv, disp_guess, table.active,
                                 _lk_params(cfg))
@@ -139,7 +155,7 @@ def _depth_from_image(cfg: FrontendConfig, cam: StereoCamera, d_img, table: lt.L
 
 
 def _depth_innovation(cfg: FrontendConfig, cam: StereoCamera, table: lt.LandmarkTable,
-                      T_c_w: SE3, z_meas, meas_ok, key):
+                      T_c_w: SE3, z_meas, meas_ok, key, bootstrap: bool = False):
     """IIR depth fusion — the system's signature depth-innovation scheme
     (CameraFrame::depthInnovation, camera_frame.cpp:271-330).
 
@@ -157,18 +173,56 @@ def _depth_innovation(cfg: FrontendConfig, cam: StereoCamera, table: lt.Landmark
         jnp.where(accept, (1.0 - cfg.iir_ratio) * z_old + cfg.iir_ratio * z_meas, z_old),
         z_meas,
     )
+
+    # Two-consistent-measurement adoption for new slots: a single stereo LK
+    # match can lock onto a false minimum (self-similar texture); adopting it
+    # poisons the pose BA (rotation-only fits then beat translation because
+    # rotation flow is depth-independent).  Require the first two
+    # measurements to agree within the innovation gate.
+    pend_rel = jnp.abs(z_meas - table.z_pend) / jnp.maximum(table.z_pend, 1e-3)
+    if bootstrap:
+        # Sequence init / failure recovery: adopt single measurements so the
+        # very next frame has 3D points to track against (init_frame path,
+        # f2f_tracking.cpp:402-453).
+        adopt = ~table.has_3d & meas_ok
+    else:
+        adopt = ~table.has_3d & meas_ok & table.pend_ok & (pend_rel < cfg.innovation_gate)
+    z_fused = jnp.where(adopt, jnp.where(table.pend_ok & (pend_rel < cfg.innovation_gate),
+                                         0.5 * (z_meas + table.z_pend), z_meas), z_fused)
+    z_pend = jnp.where(~table.has_3d & meas_ok & ~adopt, z_meas, table.z_pend)
+    pend_ok = jnp.where(table.has_3d, False,
+                        jnp.where(adopt, False, table.pend_ok | meas_ok))
+
+    # Evict persistently-inconsistent depths: after 3 consecutive rejected
+    # innovations the stored depth is presumed wrong and the slot re-enters
+    # the bootstrap path.
+    rej = jnp.where(table.has_3d & meas_ok & ~accept, table.rej_count + 1,
+                    jnp.where(table.has_3d & accept, 0, table.rej_count))
+    evict = table.has_3d & (rej >= 3)
+
     if cfg.dummy_depth:
         lo, hi = cfg.dummy_depth_range
         z_dummy = jax.random.uniform(key, z_meas.shape, z_meas.dtype, lo, hi)
         z_fused = jnp.where(~table.has_3d & ~meas_ok, z_dummy, z_fused)
-        new_has = table.active & (table.has_3d | meas_ok | ~meas_ok)
+        new_has = table.active & ~evict
     else:
-        new_has = table.active & (table.has_3d | meas_ok)
+        new_has = table.active & (table.has_3d | adopt) & ~evict
 
     p_c_new = cam_m.backproject(cam, table.uv, z_fused)
     p_w_new = cam_m.cam_to_world(T_c_w, p_c_new)
     p_w = jnp.where(new_has[:, None], p_w_new, table.p_w)
-    return dataclasses.replace(table, p_w=p_w, has_3d=new_has)
+    # Record the stereo right-image coordinate implied by the *measured*
+    # depth (u_r = u − fx·b/z).  Exported with keyframes so the window BA
+    # gets scale-fixing stereo residuals (ORB-SLAM2-style; the reference's
+    # monocular-only g2o edges leave scale to drift between depth updates).
+    ur = table.uv[:, 0] - cam.fx * cam.baseline / jnp.maximum(z_meas, 1e-3)
+    ur_ok = meas_ok & table.active & (cam.baseline > 0)
+    return dataclasses.replace(
+        table, p_w=p_w, has_3d=new_has,
+        ur=jnp.where(ur_ok, ur, table.ur), ur_ok=ur_ok,
+        z_pend=z_pend, pend_ok=pend_ok,
+        rej_count=jnp.where(evict, 0, rej),
+    )
 
 
 def _redetect(cfg: FrontendConfig, img0, table: lt.LandmarkTable, T_c_w: SE3, next_id):
@@ -185,7 +239,7 @@ def _init_branch(cfg: FrontendConfig, cam: StereoCamera, state: TrackerState,
     table = lt.empty(cfg.num_slots, state.table.uv.dtype)
     table, next_id = _redetect(cfg, pyr0[0], table, T_init, state.next_lm_id)
     z, ok = _measure_depth(cfg, cam, pyr0, pyr1, table, T_init)
-    table = _depth_innovation(cfg, cam, table, T_init, z, ok, key)
+    table = _depth_innovation(cfg, cam, table, T_init, z, ok, key, bootstrap=True)
     new_state = dataclasses.replace(
         state,
         table=table, T_c_w=T_init, T_prev=T_init,
@@ -337,7 +391,79 @@ def track_frame(cfg: FrontendConfig, cam: StereoCamera, state: TrackerState,
         return _track_branch(cfg, cam, st, pyr0, pyr1, T_pred, rng_key)
 
     new_state, out = jax.lax.cond(state.status == STATUS_TRACKING, do_track, do_init, state)
+    # Record this frame's pose in the rebase ring (STEP7 pose_records push,
+    # f2f_tracking.cpp:329-337).
+    h = new_state.ring_head
     new_state = dataclasses.replace(
-        new_state, pyr_prev=pyr0, frame_id=state.frame_id + 1
+        new_state,
+        pyr_prev=pyr0,
+        frame_id=state.frame_id + 1,
+        ring_q=new_state.ring_q.at[h].set(new_state.T_c_w.q),
+        ring_t=new_state.ring_t.at[h].set(new_state.T_c_w.t),
+        ring_fid=new_state.ring_fid.at[h].set(state.frame_id),
+        ring_head=(h + 1) % new_state.ring_fid.shape[0],
     )
     return new_state, out
+
+
+@jax.jit
+def make_keyframe_packet(state: TrackerState, out: FrameOutput):
+    """Snapshot the landmark table as a KeyframePacket for the backends —
+    the /vo_kf publication (KeyFrameMsg::pub, keyframe_msg.cpp:30-124).
+    The frame id is the one just processed (frame_id was incremented)."""
+    from ..backend.window_ba import KeyframePacket
+
+    t = state.table
+    mask = t.active & t.has_3d & t.inlier
+    return KeyframePacket(
+        frame_id=state.frame_id - 1,
+        q=state.T_c_w.q, t=state.T_c_w.t,
+        lm_id=t.lm_id, lm_uv=t.uv,
+        lm_ur=t.ur, lm_ur_mask=t.ur_ok & mask,
+        lm_pw=t.p_w, lm_mask=mask,
+    )
+
+
+@jax.jit
+def apply_correction(state: TrackerState, corr):
+    """Apply a (late) backend Correction: rebase the current pose chain onto
+    the corrected keyframe pose, overwrite landmark positions, kill outliers
+    — F2FTracking's STEP1 (f2f_tracking.cpp:189-219) plus
+    forceCorrectLM3DW / forceMarkOutlier (camera_frame.cpp:332-376)."""
+    hit = state.ring_fid == corr.frame_id
+    found = jnp.any(hit) & corr.valid
+    idx = jnp.argmax(hit)
+    T_old = SE3(state.ring_q[idx], state.ring_t[idx])
+    T_new = SE3(corr.q, corr.t)
+    # Right-multiplicative rebase: T' = T ∘ T_old⁻¹ ∘ T_new.
+    delta = se3m.compose(se3m.inverse(T_old), T_new)
+
+    def rebase(T: SE3) -> SE3:
+        Tc = se3m.compose(T, delta)
+        return jax.tree.map(lambda a, b: jnp.where(found, b, a), T, Tc)
+
+    # Landmark correction by id matching (corr arrays are backend-capacity).
+    t = state.table
+    eq = (t.lm_id[:, None] == corr.lm_id[None, :]) & corr.lm_mask[None, :] & (t.lm_id[:, None] >= 0)
+    has = jnp.any(eq, axis=1) & found
+    src = jnp.argmax(eq, axis=1)
+    p_w = jnp.where(has[:, None], corr.lm_pw[src], t.p_w)
+
+    out_eq = (t.lm_id[:, None] == corr.outlier_id[None, :]) & corr.outlier_mask[None, :] & (t.lm_id[:, None] >= 0)
+    is_out = jnp.any(out_eq, axis=1) & found
+    table = dataclasses.replace(
+        t, p_w=p_w, active=t.active & ~is_out, inlier=t.inlier & ~is_out
+    )
+
+    # Rebase ring entries recorded at or after the corrected frame.
+    newer = (state.ring_fid >= corr.frame_id) & (state.ring_fid >= 0) & found
+    ring_T = se3m.compose(SE3(state.ring_q, state.ring_t), delta)
+    return dataclasses.replace(
+        state,
+        table=table,
+        T_c_w=rebase(state.T_c_w),
+        T_prev=rebase(state.T_prev),
+        last_kf_T=rebase(state.last_kf_T),
+        ring_q=jnp.where(newer[:, None], ring_T.q, state.ring_q),
+        ring_t=jnp.where(newer[:, None], ring_T.t, state.ring_t),
+    )

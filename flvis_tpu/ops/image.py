@@ -109,14 +109,41 @@ def extract_patches(img, centers, radius: int):
       radius: patch half-size; patch side = 2*radius + 1.
     Returns:
       (N, S, S) patch values, S = 2*radius+1.
+
+    Implementation note (TPU): one (S+1, S+1) dynamic_slice per point (a
+    contiguous block gather, which XLA/TPU lowers efficiently) followed by a
+    4-tap bilinear blend with per-point fractional weights — NOT an
+    arbitrary per-pixel gather, which is orders of magnitude slower on TPU.
+    The image is edge-replicate padded by radius+2 first so patches that
+    straddle the border replicate edge pixels exactly like per-pixel clamped
+    gathers would — dynamic_slice's own clamping would instead *shift* the
+    window and silently corrupt border tracks.
     """
+    h, w = img.shape
     s = 2 * radius + 1
-    offs = jnp.arange(s, dtype=img.dtype) - radius
-    dx = jnp.broadcast_to(offs[None, :], (s, s))
-    dy = jnp.broadcast_to(offs[:, None], (s, s))
-    grid = jnp.stack([dx, dy], axis=-1)  # (S, S, 2)
-    pts = centers[:, None, None, :] + grid[None, :, :, :]
-    return bilinear_sample(img, pts)
+    pad = radius + 2
+    imgp = jnp.pad(img, pad, mode="edge")
+    x = jnp.clip(centers[:, 0], -1.0, w * 1.0)
+    y = jnp.clip(centers[:, 1], -1.0, h * 1.0)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[:, None, None]
+    fy = (y - y0)[:, None, None]
+    # With the clip above, slice starts lie in [pad-1-radius, dim+pad-radius]
+    # and fit entirely inside the padded image — no implicit clamping.
+    xi = x0.astype(jnp.int32) - radius + pad
+    yi = y0.astype(jnp.int32) - radius + pad
+
+    def slice_one(yy, xx):
+        return jax.lax.dynamic_slice(imgp, (yy, xx), (s + 1, s + 1))
+
+    P = jax.vmap(slice_one)(yi, xi)  # (N, S+1, S+1)
+    return (
+        P[:, :-1, :-1] * (1 - fx) * (1 - fy)
+        + P[:, :-1, 1:] * fx * (1 - fy)
+        + P[:, 1:, :-1] * (1 - fx) * fy
+        + P[:, 1:, 1:] * fx * fy
+    )
 
 
 def equalize_hist(img, num_bins: int = 256):

@@ -36,8 +36,14 @@ class LKParams:
 
 
 def _track_level(img_prev, grad_x, grad_y, img_next, pts_prev, flow, valid, p: LKParams):
-    """One pyramid level of LK. flow is the current displacement estimate."""
+    """One pyramid level of LK. flow is the current displacement estimate.
+
+    Patches that straddle a level border use edge-replicated pixels (see
+    extract_patches) — degraded but directionally useful, matching OpenCV's
+    border handling; points are only bounds-culled at the finest level.
+    """
     r = p.radius
+
     # Template patches + gradients at the (fixed) previous-frame locations.
     t_patch = imops.extract_patches(img_prev, pts_prev, r)          # (N,S,S)
     gx = imops.extract_patches(grad_x, pts_prev, r)
@@ -51,7 +57,8 @@ def _track_level(img_prev, grad_x, grad_y, img_next, pts_prev, flow, valid, p: L
     tr = a11 + a22
     min_eig = (tr - jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0))) * 0.5
     patch_area = (2 * r + 1) ** 2
-    good = valid & (min_eig / patch_area > p.min_eig)
+    wellcond = min_eig / patch_area > p.min_eig
+    update_ok = valid & wellcond
     det_safe = jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
 
     def body(_, carry):
@@ -63,13 +70,13 @@ def _track_level(img_prev, grad_x, grad_y, img_next, pts_prev, flow, valid, p: L
         dx = (a22 * b1 - a12 * b2) / det_safe
         dy = (a11 * b2 - a12 * b1) / det_safe
         delta = jnp.stack([-dx, -dy], axis=-1)
-        step_ok = good & ~converged
+        step_ok = update_ok & ~converged
         flow = jnp.where(step_ok[:, None], flow + delta, flow)
         converged = converged | (jnp.sum(delta * delta, axis=-1) < p.eps * p.eps)
         return flow, converged
 
     flow, _ = jax.lax.fori_loop(0, p.iters, body, (flow, jnp.zeros(flow.shape[0], bool)))
-    return flow, good
+    return flow, wellcond
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
@@ -99,10 +106,10 @@ def pyramidal_lk(pyr_prev, pyr_next, pts_prev, pts_guess, valid,
         s = 2.0 ** lvl
         img_p = pyr_prev[lvl]
         gx, gy = imops.scharr_gradients(img_p)
-        flow, good = _track_level(
+        flow, wellcond = _track_level(
             img_p, gx, gy, pyr_next[lvl], pts_prev / s, flow, status, params
         )
-        status = status & good
+        status = status & wellcond
         if lvl > 0:
             flow = flow * 2.0
 
@@ -122,13 +129,16 @@ def pyramidal_lk(pyr_prev, pyr_next, pts_prev, pts_guess, valid,
 
 @functools.partial(jax.jit, static_argnames=("params",))
 def stereo_lk(pyr_left, pyr_right, pts_left, disparity_guess, valid,
-              params: LKParams = LKParams()):
+              params: LKParams = LKParams(), fb_threshold: float = 0.7):
     """Left→right rectified-stereo track for depth recovery.
 
     Replaces the "inner LK" in CameraFrame::recover3DPts_c_FromStereo
     (/root/reference/src/processing/camera_frame.cpp:93-180).  The guess
     shifts along -x by disparity_guess; the vertical component of the result
-    is additionally gated (rectified epipolar lines are horizontal).
+    is gated (rectified epipolar lines are horizontal) and a forward-backward
+    re-track from the right image must land within fb_threshold px of the
+    original point — wrong depths are worse than no depths, because the
+    motion BA then prefers depth-independent (rotation-only) pose fits.
     Returns (disparity, status).
     """
     guess = pts_left - jnp.stack([disparity_guess, jnp.zeros_like(disparity_guess)], -1)
@@ -136,4 +146,8 @@ def stereo_lk(pyr_left, pyr_right, pts_left, disparity_guess, valid,
     dy = jnp.abs(pts_right[:, 1] - pts_left[:, 1])
     disparity = pts_left[:, 0] - pts_right[:, 0]
     status = status & (dy < 1.5) & (disparity > 0.0)
+    # Forward-backward consistency.
+    back, st_b, _ = pyramidal_lk(pyr_right, pyr_left, pts_right, pts_left, status, params)
+    fb_err = jnp.linalg.norm(back - pts_left, axis=-1)
+    status = status & st_b & (fb_err < fb_threshold)
     return disparity, status

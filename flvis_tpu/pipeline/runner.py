@@ -1,0 +1,117 @@
+"""Single-controller SLAM pipeline: frontend + sliding-window BA (+ VIO).
+
+Replaces the reference's three-ROS-nodelet architecture
+(/root/reference/src/frontend/vo_tracking.cpp, src/backend/vo_localmap.cpp,
+src/backend/vo_loopclosing.cpp with /vo_kf and /vo_localmap_feedback topics)
+by a host-side orchestrator over jitted device programs:
+
+  - tracker.track_frame          — per-frame frontend (one XLA program)
+  - window_ba.add_keyframe/optimize — per-keyframe backend BA
+  - vimotion.imu_feed_batch      — inter-frame IMU packets
+
+Pipelining comes from JAX's async dispatch: the BA program launched at a
+keyframe overlaps the next frontend frames; its Correction is applied one
+frame later — the same "corrections arrive K frames late and are rebased"
+semantics as the reference's feedback topic (f2f_tracking.cpp:189-219).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..backend import window_ba
+from ..config import SystemConfig
+from ..frontend import tracker
+from ..geometry import se3 as se3m
+from ..geometry.camera import StereoCamera
+from ..geometry.se3 import SE3
+from ..vio import vimotion
+
+
+class SlamSystem:
+    """Stereo(+IMU) SLAM engine instance for one sequence."""
+
+    def __init__(self, cfg: SystemConfig, cam: StereoCamera,
+                 T_i_c: Optional[SE3] = None, use_imu: bool = False):
+        self.cfg = cfg
+        self.cam = cam
+        self.use_imu = use_imu
+        self.T_i_c = T_i_c if T_i_c is not None else se3m.identity()
+        self.fe_state = tracker.init_state(cfg.frontend)
+        self.ba_state = window_ba.empty(cfg.backend)
+        self.vio_state = vimotion.init_state(cfg.vio)
+        self.pending_corr: Optional[window_ba.Correction] = None
+        self.keyframes: list = []       # host log of keyframe packets (for loop closing)
+        self.trajectory: list = []      # (frame_id, t_img, q, t)
+        self.ba_costs: list = []
+
+    # ------------------------------------------------------------------ IMU
+    def feed_imu(self, acc, gyro, t):
+        """Feed a batch of IMU samples (arrays (B,3), (B,3), (B,))."""
+        self.vio_state = vimotion.imu_feed_batch(
+            self.cfg.vio, self.vio_state,
+            jnp.asarray(acc, jnp.float32), jnp.asarray(gyro, jnp.float32),
+            jnp.asarray(t, jnp.float32),
+        )
+
+    # ---------------------------------------------------------------- frame
+    def process_frame(self, img0, img1, t_img: float = 0.0):
+        cfg = self.cfg
+
+        # Apply the previous keyframe's BA correction (feedback loop).
+        if self.pending_corr is not None:
+            self.fe_state = tracker.apply_correction(self.fe_state, self.pending_corr)
+            self.pending_corr = None
+
+        prior = None
+        use_prior = False
+        if self.use_imu:
+            ff = vimotion.get_frame_state(self.vio_state, jnp.asarray(t_img), self.T_i_c)
+            if bool(ff.ok):
+                prior = ff.T_c_w
+                use_prior = True
+
+        self.fe_state, out = tracker.track_frame(
+            cfg.frontend, self.cam, self.fe_state,
+            jnp.asarray(img0), jnp.asarray(img1),
+            prior_T=prior, use_prior=use_prior,
+        )
+
+        if bool(out.reset_backend):
+            # KFMSG_CMD_RESET_LM: wipe the window (vo_localmap.cpp:89-98).
+            self.ba_state = window_ba.reset(cfg.backend, self.ba_state)
+
+        if bool(out.is_keyframe):
+            pkt = tracker.make_keyframe_packet(self.fe_state, out)
+            self.ba_state = window_ba.add_keyframe(cfg.backend, self.ba_state, pkt)
+            res = window_ba.optimize(cfg.backend, self.cam, self.ba_state)
+            self.ba_state = res.state
+            self.pending_corr = res.correction   # applied next frame (async)
+            self.keyframes.append(pkt)
+            self.ba_costs.append(res.cost)
+
+        if self.use_imu and bool(out.status == tracker.STATUS_TRACKING):
+            # Vision → IMU feedback (bias estimation + state rebase).
+            self.vio_state = vimotion.correction_from_vision(
+                cfg.vio, self.vio_state, jnp.asarray(t_img), out.T_c_w, self.T_i_c
+            )
+
+        self.trajectory.append(
+            (int(self.fe_state.frame_id) - 1, t_img,
+             np.asarray(out.T_c_w.q), np.asarray(out.T_c_w.t))
+        )
+        return out
+
+    # ------------------------------------------------------------- exports
+    def trajectory_cam_centers(self):
+        """(N, 3) camera centres C = -Rᵀ t in world frame."""
+        from ..geometry import so3
+        out = []
+        for (_, _, q, t) in self.trajectory:
+            R = np.asarray(so3.to_matrix(jnp.asarray(q)))
+            out.append(-R.T @ t)
+        return np.asarray(out)

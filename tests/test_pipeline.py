@@ -1,0 +1,48 @@
+"""Integration test: full frontend + sliding-window-BA pipeline on synthetic
+stereo with backend feedback enabled."""
+
+import numpy as np
+import pytest
+
+from flvis_tpu.config import BackendConfig, FrontendConfig, SystemConfig
+from flvis_tpu.geometry import camera
+from flvis_tpu.io.synthetic import PlanarScene, SceneConfig, orbit_trajectory
+from flvis_tpu.pipeline.runner import SlamSystem
+
+
+@pytest.fixture(scope="module")
+def pipeline_run():
+    scfg = SceneConfig()
+    scene = PlanarScene(scfg, plane_depth=8.0, seed=4)
+    poses = orbit_trajectory(30, step=0.03)
+    cfg = SystemConfig(
+        frontend=FrontendConfig(width=scfg.width, height=scfg.height, num_slots=128,
+                                pyramid_levels=3, per_cell=8, min_distance=12.0,
+                                margin=22),
+        backend=BackendConfig(window_size=5, max_landmarks=256, iters1=8, iters2=4),
+    )
+    cam = camera.make(scfg.fx, scfg.fy, scfg.cx, scfg.cy, scfg.baseline,
+                      width=scfg.width, height=scfg.height)
+    sys_ = SlamSystem(cfg, cam)
+    outs = [sys_.process_frame(*scene.render(R, t)[:2]) for (R, t) in poses]
+    return poses, sys_, outs
+
+
+class TestPipeline:
+    def test_runs_and_keyframes(self, pipeline_run):
+        poses, sys_, outs = pipeline_run
+        assert len(sys_.keyframes) >= 5
+        assert all(int(o.status) == 1 for o in outs)
+
+    def test_ate_with_backend(self, pipeline_run):
+        poses, sys_, outs = pipeline_run
+        C_est = sys_.trajectory_cam_centers()
+        C_gt = np.asarray([-R.T @ t for (R, t) in poses])
+        ate = np.sqrt(np.mean(np.sum((C_est - C_gt) ** 2, axis=-1)))
+        path = 0.03 * len(poses)
+        assert ate < 0.02 * path + 0.01, f"ATE {ate:.4f} m over {path:.2f} m"
+
+    def test_ba_cost_finite(self, pipeline_run):
+        _, sys_, _ = pipeline_run
+        costs = [float(c) for c in sys_.ba_costs]
+        assert all(np.isfinite(c) for c in costs)
