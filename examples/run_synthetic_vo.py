@@ -23,6 +23,8 @@ def main():
     ap.add_argument("--cpu", action="store_true", help="force the local CPU backend")
     ap.add_argument("--backend", action="store_true",
                     help="run the full pipeline with sliding-window BA feedback")
+    ap.add_argument("--loop", action="store_true",
+                    help="out-and-back trajectory with loop closing + PGO")
     args = ap.parse_args()
 
     import jax
@@ -39,7 +41,16 @@ def main():
     print(f"devices: {jax.devices()}")
     scfg = SceneConfig()
     scene = PlanarScene(scfg, plane_depth=8.0, seed=1)
-    poses = orbit_trajectory(args.frames, step=0.03)
+    if args.loop:
+        half = args.frames // 2
+        xs = list(np.linspace(0, 0.03 * half, half))
+        xs += list(np.linspace(0.03 * half, 0.01, args.frames - half))
+        poses = []
+        for x in xs:
+            R = np.eye(3)
+            poses.append((R, -R @ np.array([x, 0.0, 0.0])))
+    else:
+        poses = orbit_trajectory(args.frames, step=0.03)
     cfg = FrontendConfig(width=scfg.width, height=scfg.height, num_slots=128,
                          pyramid_levels=3, per_cell=8, min_distance=12.0, margin=22)
     cam = camera.make(scfg.fx, scfg.fy, scfg.cx, scfg.cy, scfg.baseline,
@@ -49,13 +60,19 @@ def main():
     frames = [scene.render(R, t) for (R, t) in poses]
 
     slam = None
-    if args.backend:
-        from flvis_tpu.config import BackendConfig, SystemConfig
+    if args.backend or args.loop:
+        from flvis_tpu.config import BackendConfig, LoopConfig, SystemConfig
         from flvis_tpu.pipeline.runner import SlamSystem
 
-        syscfg = SystemConfig(frontend=cfg,
-                              backend=BackendConfig(window_size=5, max_landmarks=256))
-        slam = SlamSystem(syscfg, cam)
+        syscfg = SystemConfig(
+            frontend=cfg,
+            backend=BackendConfig(window_size=5, max_landmarks=256),
+            loop=LoopConfig(max_keyframes=128, num_orb_features=200,
+                            vocab_words=128, kf_start=8, kf_dist=6,
+                            nkf_closest=2, min_pts=12, min_score=0.03,
+                            ratio_ransac=0.3, seq_edge_successors=3),
+        )
+        slam = SlamSystem(syscfg, cam, use_loop=args.loop)
 
     state = tracker.init_state(cfg)
     errs = []
@@ -79,6 +96,9 @@ def main():
               f"reproj={float(out_np.mean_reproj_err):5.2f}px  pos_err={err * 100:6.2f}cm{kf}")
     elapsed = time.perf_counter() - t_start
     n_timed = len(frames) - 1
+    if slam is not None and slam.loop_closer is not None:
+        ncl = len(slam.loop_closer.closures)
+        print(f"\nloop closures accepted: {ncl}")
     ate = float(np.sqrt(np.mean(np.square(errs))))
     path_len = 0.03 * len(poses)
     print(f"\nATE RMSE: {ate * 100:.2f} cm over a {path_len:.2f} m path "

@@ -59,7 +59,7 @@ class TrackerState:
     T_c_w: SE3                 # current camera-from-world pose
     T_prev: SE3                # previous frame pose
     velocity: jax.Array        # (6,) twist log(T_k ∘ T_{k-1}⁻¹) — motion model
-    pyr_prev: tuple            # previous left-image pyramid
+    pyr_prev: tuple            # previous left-image gradient pyramid ((img, gx, gy) per level)
     status: jax.Array          # i32: 0 uninit / 1 tracking / 2 fail
     frame_id: jax.Array        # i32
     next_lm_id: jax.Array      # i32 (ids start at 100, landmark.cpp:3-9)
@@ -85,10 +85,11 @@ class FrameOutput(NamedTuple):
 
 
 def init_state(cfg: FrontendConfig, dtype=jnp.float32) -> TrackerState:
-    zero_pyr = tuple(
-        jnp.zeros((cfg.height // (2 ** l), cfg.width // (2 ** l)), dtype)
-        for l in range(cfg.pyramid_levels)
-    )
+    def zl(l):
+        z = jnp.zeros((cfg.height // (2 ** l), cfg.width // (2 ** l)), dtype)
+        return (z, z, z)
+
+    zero_pyr = tuple(zl(l) for l in range(cfg.pyramid_levels))
     I = se3m.identity(dtype=dtype)
     return TrackerState(
         table=lt.empty(cfg.num_slots, dtype),
@@ -237,7 +238,7 @@ def _init_branch(cfg: FrontendConfig, cam: StereoCamera, state: TrackerState,
     """UnInit / TrackingFail recovery: wipe, detect, recover depth
     (f2f_tracking.cpp:402-453 init_frame; recovery at 357-394)."""
     table = lt.empty(cfg.num_slots, state.table.uv.dtype)
-    table, next_id = _redetect(cfg, pyr0[0], table, T_init, state.next_lm_id)
+    table, next_id = _redetect(cfg, pyr0[0][0], table, T_init, state.next_lm_id)
     z, ok = _measure_depth(cfg, cam, pyr0, pyr1, table, T_init)
     table = _depth_innovation(cfg, cam, table, T_init, z, ok, key, bootstrap=True)
     new_state = dataclasses.replace(
@@ -314,7 +315,7 @@ def _track_branch(cfg: FrontendConfig, cam: StereoCamera, state: TrackerState,
     mean_err = jnp.sum(jnp.where(survivors & table.has_3d, err, 0.0)) / jnp.maximum(num_inl, 1)
 
     # --- STEP5: redetect into freed slots -----------------------------------
-    table, next_id = _redetect(cfg, pyr0[0], table, T_new, state.next_lm_id)
+    table, next_id = _redetect(cfg, pyr0[0][0], table, T_new, state.next_lm_id)
 
     # --- STEP6: depth innovation --------------------------------------------
     z, z_ok = _measure_depth(cfg, cam, pyr0, pyr1, table, T_new)
@@ -376,8 +377,11 @@ def track_frame(cfg: FrontendConfig, cam: StereoCamera, state: TrackerState,
         rng_key = jax.random.fold_in(jax.random.PRNGKey(7), state.frame_id)
 
     img0 = imops.equalize_hist(img0) if cfg.equalize else img0
-    pyr0 = tuple(imops.build_pyramid(img0, cfg.pyramid_levels))
-    pyr1 = tuple(imops.build_pyramid(img1, cfg.pyramid_levels))
+    # Gradient pyramids are built once per image and reused by the temporal
+    # LK (prev frame's, cached in state), the stereo forward pass and the
+    # stereo backward check.
+    pyr0 = imops.build_grad_pyramid(img0, cfg.pyramid_levels)
+    pyr1 = imops.build_grad_pyramid(img1, cfg.pyramid_levels)
 
     if use_prior and prior_T is not None:
         T_pred = prior_T

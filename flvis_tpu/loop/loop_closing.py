@@ -1,0 +1,264 @@
+"""Loop closing: place recognition, geometric verification, PGO, drift.
+
+TPU-native re-design of the reference's LoopClosingNodeletClass
+(/root/reference/src/backend/vo_loopclosing.cpp:114-1130), whose two worker
+threads do: (A) ingest keyframes — ORB detectAndCompute, DBoW3 transform,
+depth recovery for the ORB points (243-351); (B) search + optimize — BoW
+similarity row against all keyframes (421-436), temporal + neighbour-
+consistency candidate gating (isLoopCandidate, 520-589), mutual-kNN +
+ratio-test matching and PnP-RANSAC verification with translation/rotation
+accept gates (isLoopClosureKF, 591-729), then pose-graph optimization over
+the covisibility chain and accumulation of the map→odom drift transform
+(loopClosureOnCovGraphG2ONew, 742-944).
+
+Here each stage is a fixed-shape jitted program (ops.orb, loop.bow,
+ops.pnp, loop.pose_graph); this class is the thin host-side orchestrator.
+The keyframe database is fixed-capacity device arrays; similarity against
+the entire database is one matvec instead of the reference's O(N) loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import LoopConfig
+from ..geometry import camera as cam_m, se3 as se3m, so3
+from ..geometry.camera import StereoCamera
+from ..geometry.se3 import SE3
+from ..ops import image as imops, lk as lk_ops, orb, pnp
+from . import bow, pose_graph
+
+
+@dataclasses.dataclass
+class LoopClosure:
+    """Record of an accepted loop closure."""
+
+    kf_i: int              # older keyframe index
+    kf_j: int              # newer keyframe index
+    num_inliers: int
+    T_ij: SE3              # measured relative pose between nodes i → j
+
+
+class LoopCloser:
+    """Keyframe database + loop detection + pose-graph correction."""
+
+    def __init__(self, cfg: LoopConfig, cam: StereoCamera,
+                 vocab: Optional[bow.Vocabulary] = None):
+        self.cfg = cfg
+        self.cam = cam
+        self.vocab = vocab
+        K, F, V = cfg.max_keyframes, cfg.num_orb_features, cfg.vocab_words
+        self.bow_db = np.zeros((K, V), np.float32)
+        self.kf_uv = np.zeros((K, F, 2), np.float32)
+        self.kf_desc = np.zeros((K, F, 8), np.uint32)
+        self.kf_kp_valid = np.zeros((K, F), bool)
+        self.kf_pc = np.zeros((K, F, 3), np.float32)   # keypoint 3D, camera frame
+        self.kf_pc_valid = np.zeros((K, F), bool)
+        self.kf_frame_id = np.full(K, -1, np.int64)
+        # Odometry (frontend) poses and PGO-corrected poses, as T_w_c.
+        self.kf_T_wc_odom: list[SE3] = []
+        self.kf_T_wc: list[SE3] = []
+        self.count = 0
+        self.closures: list[LoopClosure] = []
+        self.T_map_odom: SE3 = se3m.identity()   # drift: corrected ∘ odom⁻¹
+        self._desc_buffer: list[np.ndarray] = []  # for on-the-fly vocab training
+
+    # ------------------------------------------------------------------ add
+    def add_keyframe(self, img_l, img_r, T_c_w_odom: SE3, frame_id: int):
+        """Thread-A equivalent: features, BoW, keypoint depth (vo_loopclosing
+        .cpp:181-392).  Returns this keyframe's index."""
+        cfg = self.cfg
+        k = self.count
+        if k >= cfg.max_keyframes:
+            raise RuntimeError("loop-closer keyframe capacity exceeded")
+        img_l = jnp.asarray(img_l)
+        img_r = jnp.asarray(img_r)
+        uv, desc, kp_valid, _ = orb.detect_and_compute(
+            img_l, num_features=cfg.num_orb_features
+        )
+        # Depth for ORB keypoints via rectified stereo LK (the reference's
+        # stereo depth recovery path, vo_loopclosing.cpp:262-351).
+        pyr_l = imops.build_grad_pyramid(img_l, 3)
+        pyr_r = imops.build_grad_pyramid(img_r, 3)
+        guess = jnp.full(uv.shape[0], float(self.cam.fx * self.cam.baseline) / 4.0)
+        disp, d_ok = lk_ops.stereo_lk(pyr_l, pyr_r, uv, guess, kp_valid)
+        z = self.cam.fx * self.cam.baseline / jnp.maximum(disp, 1e-3)
+        d_ok = d_ok & (z > 0.1) & (z < 100.0)
+        p_c = cam_m.backproject(self.cam, uv, z)
+
+        self.kf_uv[k] = np.asarray(uv)
+        self.kf_desc[k] = np.asarray(desc)
+        self.kf_kp_valid[k] = np.asarray(kp_valid)
+        self.kf_pc[k] = np.asarray(p_c)
+        self.kf_pc_valid[k] = np.asarray(d_ok & kp_valid)
+        self.kf_frame_id[k] = frame_id
+        self.kf_T_wc_odom.append(se3m.inverse(T_c_w_odom))
+        # New nodes enter at their drift-corrected pose.
+        self.kf_T_wc.append(se3m.compose(self.T_map_odom, se3m.inverse(T_c_w_odom)))
+        self._desc_buffer.append(np.asarray(desc)[np.asarray(kp_valid)])
+
+        if self.vocab is None and k + 1 >= 8:
+            self._train_vocab()
+        if self.vocab is not None:
+            self.bow_db[k] = np.asarray(bow.transform(self.vocab, desc, kp_valid))
+        self.count += 1
+        return k
+
+    def _train_vocab(self):
+        """Train the vocabulary from keyframes seen so far (the reference
+        instead loads a pre-trained DBoW3 file, vo_loopclosing.cpp:1095-1102,
+        which the repo does not ship)."""
+        all_desc = np.concatenate(self._desc_buffer, axis=0)
+        if len(all_desc) < self.cfg.vocab_words // 2:
+            return
+        self.vocab = bow.train(
+            jnp.asarray(all_desc), np.ones(len(all_desc), bool),
+            num_words=self.cfg.vocab_words, iters=6,
+        )
+        # Back-fill BoW vectors for earlier keyframes.
+        for i in range(self.count):
+            self.bow_db[i] = np.asarray(
+                bow.transform(self.vocab, jnp.asarray(self.kf_desc[i]),
+                              jnp.asarray(self.kf_kp_valid[i]))
+            )
+
+    # --------------------------------------------------------------- search
+    def detect_loop(self, k: int) -> Optional[LoopClosure]:
+        """Thread-B candidate search + geometric check for keyframe k."""
+        cfg = self.cfg
+        if self.vocab is None or k < cfg.kf_start:
+            return None
+        sims = np.asarray(
+            bow.score_database(
+                jnp.asarray(self.bow_db[k]), jnp.asarray(self.bow_db[: self.count]),
+                jnp.ones(self.count, bool),
+            )
+        )
+        # Temporal gate (lcKFDist) and window cap (lcKFMaxDist).
+        lo = max(0, k - cfg.kf_max_dist)
+        hi = k - cfg.kf_dist
+        if hi <= lo:
+            return None
+        window = sims[lo:hi]
+        cand = int(np.argmax(window)) + lo
+        best = float(sims[cand])
+        if best < cfg.min_score:
+            return None
+        # Neighbour consistency: enough of the candidate's temporal
+        # neighbours must also score well (isLoopCandidate, 520-589).
+        n0 = max(lo, cand - cfg.nkf_closest)
+        n1 = min(hi, cand + cfg.nkf_closest + 1)
+        close = np.sum(sims[n0:n1] >= 0.8 * best) - 1
+        if close < min(cfg.nkf_closest, n1 - n0 - 1):
+            return None
+        return self._verify(cand, k)
+
+    def _verify(self, i: int, j: int) -> Optional[LoopClosure]:
+        """Geometric check (isLoopClosureKF, 591-729): mutual ratio matching
+        + PnP RANSAC + translation/rotation accept gates."""
+        cfg = self.cfg
+        match_j, good = orb.mutual_ratio_match(
+            jnp.asarray(self.kf_desc[i]), jnp.asarray(self.kf_desc[j]),
+            jnp.asarray(self.kf_kp_valid[i] & self.kf_pc_valid[i]),
+            jnp.asarray(self.kf_kp_valid[j]),
+            ratio=cfg.ratio_max,
+        )
+        good_np = np.asarray(good)
+        n_match = int(good_np.sum())
+        if n_match < cfg.min_pts:
+            return None
+        # 3D from old KF i (world frame via its corrected node pose), 2D from j.
+        T_wc_i = self.kf_T_wc[i]
+        pts_w = np.asarray(se3m.transform_points(T_wc_i, jnp.asarray(self.kf_pc[i])))
+        uv_j = self.kf_uv[j][np.asarray(match_j)]
+        xn = np.stack(
+            [
+                (uv_j[:, 0] - float(self.cam.cx)) / float(self.cam.fx),
+                (uv_j[:, 1] - float(self.cam.cy)) / float(self.cam.fy),
+            ],
+            axis=-1,
+        )
+        T_cj_w, inl, n_inl = pnp.pnp_ransac(
+            jax.random.PRNGKey(i * 7919 + j), jnp.asarray(pts_w), jnp.asarray(xn),
+            good, threshold_n=3.0 / float(self.cam.fx), num_hypotheses=128,
+        )
+        n_inl = int(n_inl)
+        if n_inl < cfg.min_pts or n_inl < cfg.ratio_ransac * n_match:
+            return None
+        T_wc_j_meas = se3m.inverse(T_cj_w)
+        # Accept gates vs the current (drifted) estimate of j
+        # (‖t‖ < 3 m, ‖log R‖ < 1.5 — vo_loopclosing.cpp:686).
+        delta = se3m.compose(se3m.inverse(self.kf_T_wc[j]), T_wc_j_meas)
+        dt = float(jnp.linalg.norm(delta.t))
+        dr = float(jnp.linalg.norm(so3.log(delta.q)))
+        if dt > cfg.max_trans or dr > cfg.max_rot:
+            return None
+        T_ij = se3m.compose(se3m.inverse(T_wc_i), T_wc_j_meas)
+        lc = LoopClosure(i, j, n_inl, T_ij)
+        self.closures.append(lc)
+        return lc
+
+    # ------------------------------------------------------------------ PGO
+    def optimize_graph(self):
+        """Pose-graph optimization over all keyframes with sequential edges
+        to 5 successors + accumulated loop edges; update poses and the
+        map→odom drift (loopClosureOnCovGraphG2ONew, 742-944)."""
+        cfg = self.cfg
+        n = self.count
+        if not self.closures or n < 2:
+            return
+        max_edges = cfg.seq_edge_successors * n + len(self.closures) + 8
+        g = pose_graph.empty(n, max_edges)
+        g = dataclasses.replace(
+            g,
+            node_q=jnp.stack([T.q for T in self.kf_T_wc[:n]]),
+            node_t=jnp.stack([T.t for T in self.kf_T_wc[:n]]),
+            node_valid=jnp.ones(n, bool),
+        )
+        ei, ej, eq, et, ev, ew = [], [], [], [], [], []
+        for a in range(n):
+            for s in range(1, cfg.seq_edge_successors + 1):
+                b = a + s
+                if b >= n:
+                    break
+                rel = se3m.compose(
+                    se3m.inverse(self.kf_T_wc_odom[a]), self.kf_T_wc_odom[b]
+                )
+                ei.append(a); ej.append(b); eq.append(rel.q); et.append(rel.t)
+                ev.append(True); ew.append(1.0 / s)
+        for lc in self.closures:
+            ei.append(lc.kf_i); ej.append(lc.kf_j)
+            eq.append(lc.T_ij.q); et.append(lc.T_ij.t)
+            ev.append(True); ew.append(5.0)
+        E = g.edge_i.shape[0]
+        pad = E - len(ei)
+        g = dataclasses.replace(
+            g,
+            edge_i=jnp.asarray(ei + [0] * pad, jnp.int32),
+            edge_j=jnp.asarray(ej + [0] * pad, jnp.int32),
+            edge_q=jnp.concatenate([jnp.stack(eq), jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (max(pad, 0), 1))])[:E],
+            edge_t=jnp.concatenate([jnp.stack(et), jnp.zeros((max(pad, 0), 3))])[:E],
+            edge_valid=jnp.asarray(ev + [False] * pad),
+            edge_weight=jnp.asarray(ew + [1.0] * pad, jnp.float32),
+        )
+        fixed = jnp.zeros(n, bool).at[0].set(True)
+        g2, _ = pose_graph.optimize(g, fixed, iters=min(cfg.pgo_iters, 30))
+        for idx in range(n):
+            self.kf_T_wc[idx] = SE3(g2.node_q[idx], g2.node_t[idx])
+        # Drift transform: corrected_latest ∘ odom_latest⁻¹ (tf map→odom).
+        self.T_map_odom = se3m.compose(
+            self.kf_T_wc[n - 1], se3m.inverse(self.kf_T_wc_odom[n - 1])
+        )
+
+    # ---------------------------------------------------------------- query
+    def corrected_pose(self, T_c_w_odom: SE3) -> SE3:
+        """Apply the current drift estimate to a frontend odometry pose —
+        what the frontend's path republisher does with tf map→odom
+        (vo_tracking.cpp:437-445)."""
+        T_wc = se3m.compose(self.T_map_odom, se3m.inverse(T_c_w_odom))
+        return se3m.inverse(T_wc)

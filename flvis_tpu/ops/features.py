@@ -52,11 +52,19 @@ def shi_tomasi_response(img, block_radius: int = 1):
 
 
 def _nms(resp, radius: int):
-    """Keep only pixels that are the maximum of their (2r+1)² neighbourhood."""
+    """Keep only pixels that are the maximum of their (2r+1)² neighbourhood.
+
+    Separable: a (1, k) pass then a (k, 1) pass — the square max-window
+    factorises exactly, and two 1-D reduce_windows are far cheaper than one
+    2-D window on TPU for k ≈ 15."""
+    k = 2 * radius + 1
     pooled = jax.lax.reduce_window(
         resp, -jnp.inf, jax.lax.max,
-        window_dimensions=(2 * radius + 1, 2 * radius + 1),
-        window_strides=(1, 1), padding="SAME",
+        window_dimensions=(1, k), window_strides=(1, 1), padding="SAME",
+    )
+    pooled = jax.lax.reduce_window(
+        pooled, -jnp.inf, jax.lax.max,
+        window_dimensions=(k, 1), window_strides=(1, 1), padding="SAME",
     )
     return jnp.where(resp >= pooled, resp, -jnp.inf)
 

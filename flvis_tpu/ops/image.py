@@ -52,6 +52,23 @@ def build_pyramid(img, num_levels: int):
     return levels
 
 
+def build_grad_pyramid(img, num_levels: int):
+    """Pyramid with per-level Scharr gradients: tuple of (img, gx, gy).
+
+    Computed ONCE per frame and reused by every LK pass over that image
+    (temporal track + stereo forward + stereo backward) — the gradient convs
+    are a large share of the frontend's op count otherwise.
+    """
+    out = []
+    level = img
+    for l in range(num_levels):
+        gx, gy = scharr_gradients(level)
+        out.append((level, gx, gy))
+        if l + 1 < num_levels:
+            level = pyr_down(level)
+    return tuple(out)
+
+
 def scharr_gradients(img):
     """(Ix, Iy) via the 3×3 Scharr operator (OpenCV's LK derivative choice)."""
     smooth = jnp.asarray([3.0, 10.0, 3.0]) / 32.0

@@ -80,13 +80,16 @@ def _track_level(img_prev, grad_x, grad_y, img_next, pts_prev, flow, valid, p: L
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
-def pyramidal_lk(pyr_prev, pyr_next, pts_prev, pts_guess, valid,
+def pyramidal_lk(pyrg_prev, pyr_next, pts_prev, pts_guess, valid,
                  params: LKParams = LKParams()):
-    """Track points from pyr_prev to pyr_next.
+    """Track points from pyrg_prev to pyr_next.
 
     Args:
-      pyr_prev / pyr_next: tuples of (H/2^l, W/2^l) images, level 0 first
-        (from flvis_tpu.ops.image.build_pyramid).
+      pyrg_prev: gradient pyramid of the previous image — tuple of
+        (img, gx, gy) per level (flvis_tpu.ops.image.build_grad_pyramid).
+        Pass a plain image pyramid and gradients are computed on the fly.
+      pyr_next: image pyramid of the next image — tuple of (H/2^l, W/2^l)
+        arrays, or a gradient pyramid (gradients ignored).
       pts_prev: (N, 2) [x, y] point locations in the previous frame.
       pts_guess: (N, 2) initial guess for locations in the next frame
         (pass pts_prev for no prior; the frontend passes IMU-projected
@@ -97,57 +100,70 @@ def pyramidal_lk(pyr_prev, pyr_next, pts_prev, pts_guess, valid,
       status: (N,) bool success mask (conditioning + in-bounds).
       err: (N,) mean absolute patch residual at the solution.
     """
-    num_levels = len(pyr_prev)
+    num_levels = len(pyrg_prev)
     assert len(pyr_next) == num_levels
+
+    def level_triple(entry):
+        if isinstance(entry, tuple) and len(entry) == 3:
+            return entry
+        return (entry,) + imops.scharr_gradients(entry)
+
+    def level_img(entry):
+        return entry[0] if isinstance(entry, tuple) else entry
+
     scale_top = 2.0 ** (num_levels - 1)
     flow = (pts_guess - pts_prev) / scale_top
     status = valid
     for lvl in range(num_levels - 1, -1, -1):
         s = 2.0 ** lvl
-        img_p = pyr_prev[lvl]
-        gx, gy = imops.scharr_gradients(img_p)
+        img_p, gx, gy = level_triple(pyrg_prev[lvl])
         flow, wellcond = _track_level(
-            img_p, gx, gy, pyr_next[lvl], pts_prev / s, flow, status, params
+            img_p, gx, gy, level_img(pyr_next[lvl]), pts_prev / s, flow, status, params
         )
         status = status & wellcond
         if lvl > 0:
             flow = flow * 2.0
 
     pts_next = pts_prev + flow
-    h, w = pyr_next[0].shape
+    h, w = level_img(pyr_next[0]).shape
     r = params.radius
     inb = (
         (pts_next[:, 0] >= r) & (pts_next[:, 0] <= w - 1 - r)
         & (pts_next[:, 1] >= r) & (pts_next[:, 1] <= h - 1 - r)
     )
     status = status & inb
-    final = imops.extract_patches(pyr_next[0], pts_next, r)
-    templ = imops.extract_patches(pyr_prev[0], pts_prev, r)
+    final = imops.extract_patches(level_img(pyr_next[0]), pts_next, r)
+    templ = imops.extract_patches(level_img(pyrg_prev[0]), pts_prev, r)
     err = jnp.mean(jnp.abs(final - templ), axis=(1, 2))
     return pts_next, status, err
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
-def stereo_lk(pyr_left, pyr_right, pts_left, disparity_guess, valid,
+def stereo_lk(pyrg_left, pyrg_right, pts_left, disparity_guess, valid,
               params: LKParams = LKParams(), fb_threshold: float = 0.7):
     """Left→right rectified-stereo track for depth recovery.
 
     Replaces the "inner LK" in CameraFrame::recover3DPts_c_FromStereo
     (/root/reference/src/processing/camera_frame.cpp:93-180).  The guess
     shifts along -x by disparity_guess; the vertical component of the result
-    is gated (rectified epipolar lines are horizontal) and a forward-backward
-    re-track from the right image must land within fb_threshold px of the
-    original point — wrong depths are worse than no depths, because the
-    motion BA then prefers depth-independent (rotation-only) pose fits.
+    is gated (rectified epipolar lines are horizontal) and a single-level
+    backward re-track from the right image must land within fb_threshold px
+    of the original point — wrong depths are worse than no depths, because
+    the motion BA then prefers depth-independent (rotation-only) pose fits.
+    Both arguments are gradient pyramids (build_grad_pyramid).
     Returns (disparity, status).
     """
     guess = pts_left - jnp.stack([disparity_guess, jnp.zeros_like(disparity_guess)], -1)
-    pts_right, status, _ = pyramidal_lk(pyr_left, pyr_right, pts_left, guess, valid, params)
+    pts_right, status, _ = pyramidal_lk(pyrg_left, pyrg_right, pts_left, guess, valid, params)
     dy = jnp.abs(pts_right[:, 1] - pts_left[:, 1])
     disparity = pts_left[:, 0] - pts_right[:, 0]
     status = status & (dy < 1.5) & (disparity > 0.0)
-    # Forward-backward consistency.
-    back, st_b, _ = pyramidal_lk(pyr_right, pyr_left, pts_right, pts_left, status, params)
+    # Forward-backward consistency at full resolution only — the backward
+    # start is already within a pixel or two, so one level suffices and
+    # saves a full pyramid pass.
+    fb_params = dataclasses.replace(params, num_levels=1, iters=max(params.iters // 2, 4))
+    back, st_b, _ = pyramidal_lk(pyrg_right[:1], pyrg_left[:1], pts_right, pts_left,
+                                 status, fb_params)
     fb_err = jnp.linalg.norm(back - pts_left, axis=-1)
     status = status & st_b & (fb_err < fb_threshold)
     return disparity, status

@@ -1,0 +1,194 @@
+"""Batched ORB features: FAST corners + intensity-centroid orientation +
+rotated BRIEF descriptors.
+
+TPU-native replacement for cv::ORB::detectAndCompute as used by the
+reference's loop-closing node (1000 features per keyframe,
+/root/reference/src/backend/vo_loopclosing.cpp:243-245) and BFMatcher
+Hamming matching (vo_loopclosing.cpp:603-660).
+
+Design notes (everything fixed-shape, no data-dependent control flow):
+  - FAST-9 is evaluated for EVERY pixel at once: the 16 Bresenham-circle
+    samples become 16 shifted copies of the image; the "9 contiguous"
+    test is 9 rolled ANDs of the 32-bit doubled mask — pure VPU work.
+  - Orientation uses image moments over a circular patch computed with two
+    small convolutions (x- and y-weighted kernels), sampled at keypoints.
+  - Descriptors: the 256 BRIEF point pairs are rotated per-keypoint and
+    sampled bilinearly from the blurred image; bits are packed into
+    (N, 8) uint32 so Hamming distance is XOR + population_count.
+  - Matching: packed XOR+popcount for pairwise distance matrices; for
+    vocabulary-sized comparisons, unpack_pm1() yields ±1 floats so word
+    assignment runs on the MXU as a plain matmul.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import image as imops
+
+# --- FAST circle offsets (radius-3 Bresenham, OpenCV order) ---------------
+_CIRCLE = np.array([
+    (0, -3), (1, -3), (2, -2), (3, -1), (3, 0), (3, 1), (2, 2), (1, 3),
+    (0, 3), (-1, 3), (-2, 2), (-3, 1), (-3, 0), (-3, -1), (-2, -2), (-1, -3),
+])
+
+
+def fast_score(img, threshold: float = 20.0):
+    """FAST-9 corner response for every pixel, (H, W).
+
+    Response is 0 for non-corners; for corners it is the sum-of-absolute-
+    differences of the contiguous arc (OpenCV's FAST score flavour).
+    """
+    shifted = [jnp.roll(img, (-dy, -dx), axis=(0, 1)) for (dx, dy) in _CIRCLE]
+    ring = jnp.stack(shifted, axis=0)                    # (16, H, W)
+    diff = ring - img[None, :, :]
+    bright = diff > threshold
+    dark = diff < -threshold
+
+    def arc9(mask):
+        # mask: (16, H, W) bool → any 9-contiguous run on the circle.
+        m = mask
+        acc = m
+        for k in range(1, 9):
+            acc = acc & jnp.roll(m, -k, axis=0)
+        return jnp.any(acc, axis=0)
+
+    is_corner = arc9(bright) | arc9(dark)
+    score = jnp.sum(jnp.where(bright | dark, jnp.abs(diff) - threshold, 0.0), axis=0)
+    return jnp.where(is_corner, score, 0.0)
+
+
+def _moment_kernels(radius: int = 15):
+    ys, xs = np.mgrid[-radius:radius + 1, -radius:radius + 1]
+    disk = (xs ** 2 + ys ** 2 <= radius ** 2).astype(np.float32)
+    return (xs * disk).astype(np.float32), (ys * disk).astype(np.float32)
+
+
+def orientations(img, pts, radius: int = 15):
+    """Intensity-centroid angle θ = atan2(m01, m10) per keypoint (IC_Angle).
+
+    Computed with two whole-image convolutions then sampled at keypoints —
+    one fused program instead of a per-keypoint loop."""
+    kx, ky = _moment_kernels(radius)
+
+    def conv(k):
+        return jax.lax.conv_general_dilated(
+            img[None, None], jnp.asarray(k)[None, None],
+            window_strides=(1, 1), padding="SAME",
+        )[0, 0]
+
+    m10 = imops.bilinear_sample(conv(kx), pts)
+    m01 = imops.bilinear_sample(conv(ky), pts)
+    return jnp.arctan2(m01, m10)
+
+
+def _brief_pattern(num_pairs: int = 256, patch: int = 24, seed: int = 42):
+    """Gaussian BRIEF sampling pairs, (P, 4) = (x1, y1, x2, y2)."""
+    rng = np.random.default_rng(seed)
+    pat = rng.normal(0.0, patch / 5.0, size=(num_pairs, 4))
+    return np.clip(pat, -patch / 2, patch / 2).astype(np.float32)
+
+
+_PATTERN = _brief_pattern()
+
+
+def brief_descriptors(img_blur, pts, angles):
+    """Rotated BRIEF-256, packed to (N, 8) uint32.
+
+    img_blur should be a Gaussian-smoothed image (ORB blurs before BRIEF).
+    """
+    pat = jnp.asarray(_PATTERN)                       # (256, 4)
+    ca, sa = jnp.cos(angles), jnp.sin(angles)         # (N,)
+
+    def rot(x, y):
+        # (N, 256) rotated offsets.
+        return (
+            ca[:, None] * x[None, :] - sa[:, None] * y[None, :],
+            sa[:, None] * x[None, :] + ca[:, None] * y[None, :],
+        )
+
+    x1, y1 = rot(pat[:, 0], pat[:, 1])
+    x2, y2 = rot(pat[:, 2], pat[:, 3])
+    p1 = pts[:, None, :] + jnp.stack([x1, y1], axis=-1)   # (N, 256, 2)
+    p2 = pts[:, None, :] + jnp.stack([x2, y2], axis=-1)
+    bits = imops.bilinear_sample(img_blur, p1) < imops.bilinear_sample(img_blur, p2)
+    # Pack 256 bits → 8 uint32 words.
+    b = bits.reshape(bits.shape[0], 8, 32).astype(jnp.uint32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
+    return jnp.sum(b * weights, axis=-1, dtype=jnp.uint32)  # (N, 8)
+
+
+@functools.partial(jax.jit, static_argnames=("num_features", "threshold"))
+def detect_and_compute(img, num_features: int = 500, threshold: float = 20.0):
+    """ORB pipeline: FAST-9 + NMS → top-K by score → orientation → rBRIEF.
+
+    Returns (uv (K, 2), desc (K, 8) uint32, valid (K,), angles (K,)).
+    Fixed output size with a validity mask — non-corners score 0 and are
+    masked out.
+    """
+    h, w = img.shape
+    score = fast_score(img, threshold)
+    # 3×3 non-max suppression + border exclusion (BRIEF patch support).
+    pooled = jax.lax.reduce_window(
+        score, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
+    )
+    margin = 20
+    yy = jnp.arange(h)[:, None]
+    xx = jnp.arange(w)[None, :]
+    ok = (yy >= margin) & (yy < h - margin) & (xx >= margin) & (xx < w - margin)
+    score = jnp.where((score >= pooled) & ok, score, 0.0)
+
+    flat = score.reshape(-1)
+    top_val, top_idx = jax.lax.top_k(flat, num_features)
+    uv = jnp.stack([(top_idx % w).astype(jnp.float32),
+                    (top_idx // w).astype(jnp.float32)], axis=-1)
+    valid = top_val > 0.0
+
+    ang = orientations(img, uv)
+    blur = imops.gaussian_blur(img, sigma=2.0, ksize=7)
+    desc = brief_descriptors(blur, uv, ang)
+    return uv, desc, valid, ang
+
+
+def hamming_matrix(desc_a, desc_b):
+    """(Na, Nb) Hamming distances between packed (·, 8) uint32 descriptors."""
+    x = jnp.bitwise_xor(desc_a[:, None, :], desc_b[None, :, :])
+    return jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
+
+
+def unpack_pm1(desc, dtype=jnp.float32):
+    """(N, 8) uint32 → (N, 256) ±1 floats (for MXU matmul comparisons:
+    hamming = (256 − a·b)/2)."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (desc[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)
+    return (bits.reshape(desc.shape[0], 256).astype(dtype) * 2.0 - 1.0)
+
+
+def mutual_ratio_match(desc_a, desc_b, valid_a, valid_b, ratio: float = 0.75,
+                       max_distance: int = 64):
+    """Mutual-best kNN2 matching with Lowe ratio test.
+
+    Replaces the reference's BFMatcher knn2 + mutual check + ratio gate
+    (vo_loopclosing.cpp:603-660).  Returns (idx_b_for_a (Na,), good (Na,)).
+    """
+    d = hamming_matrix(desc_a, desc_b)
+    big = jnp.int32(512)
+    d = jnp.where(valid_a[:, None] & valid_b[None, :], d, big)
+    # Two smallest along b for each a.
+    neg_top2, idx_top2 = jax.lax.top_k(-d, 2)
+    best_ab = idx_top2[:, 0]
+    d1 = -neg_top2[:, 0]
+    d2 = -neg_top2[:, 1]
+    # Mutual check: a must also be b's best.
+    best_ba = jnp.argmin(d, axis=0)
+    mutual = best_ba[best_ab] == jnp.arange(d.shape[0])
+    good = (
+        valid_a & mutual
+        & (d1 <= max_distance)
+        & (d1.astype(jnp.float32) < ratio * jnp.maximum(d2, 1).astype(jnp.float32))
+    )
+    return best_ab, good

@@ -36,7 +36,8 @@ class SlamSystem:
     """Stereo(+IMU) SLAM engine instance for one sequence."""
 
     def __init__(self, cfg: SystemConfig, cam: StereoCamera,
-                 T_i_c: Optional[SE3] = None, use_imu: bool = False):
+                 T_i_c: Optional[SE3] = None, use_imu: bool = False,
+                 use_loop: bool = False):
         self.cfg = cfg
         self.cam = cam
         self.use_imu = use_imu
@@ -48,6 +49,11 @@ class SlamSystem:
         self.keyframes: list = []       # host log of keyframe packets (for loop closing)
         self.trajectory: list = []      # (frame_id, t_img, q, t)
         self.ba_costs: list = []
+        self.loop_closer = None
+        if use_loop:
+            from ..loop.loop_closing import LoopCloser
+
+            self.loop_closer = LoopCloser(cfg.loop, cam)
 
     # ------------------------------------------------------------------ IMU
     def feed_imu(self, acc, gyro, t):
@@ -93,6 +99,12 @@ class SlamSystem:
             self.pending_corr = res.correction   # applied next frame (async)
             self.keyframes.append(pkt)
             self.ba_costs.append(res.cost)
+            if self.loop_closer is not None:
+                # Loop node ingests the same keyframe stream (/vo_kf).
+                k = self.loop_closer.add_keyframe(img0, img1, out.T_c_w,
+                                                  int(pkt.frame_id))
+                if self.loop_closer.detect_loop(k) is not None:
+                    self.loop_closer.optimize_graph()
 
         if self.use_imu and bool(out.status == tracker.STATUS_TRACKING):
             # Vision → IMU feedback (bias estimation + state rebase).
@@ -107,11 +119,17 @@ class SlamSystem:
         return out
 
     # ------------------------------------------------------------- exports
-    def trajectory_cam_centers(self):
-        """(N, 3) camera centres C = -Rᵀ t in world frame."""
+    def trajectory_cam_centers(self, loop_corrected: bool = False):
+        """(N, 3) camera centres C = -Rᵀ t in world frame.
+
+        With loop_corrected=True the loop-closer's map→odom drift transform
+        is applied (the reference's drift-corrected republished path)."""
         from ..geometry import so3
         out = []
         for (_, _, q, t) in self.trajectory:
-            R = np.asarray(so3.to_matrix(jnp.asarray(q)))
-            out.append(-R.T @ t)
+            T = SE3(jnp.asarray(q), jnp.asarray(t))
+            if loop_corrected and self.loop_closer is not None:
+                T = self.loop_closer.corrected_pose(T)
+            R = np.asarray(so3.to_matrix(T.q))
+            out.append(-R.T @ np.asarray(T.t))
         return np.asarray(out)

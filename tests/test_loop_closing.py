@@ -1,0 +1,85 @@
+"""Loop-closing integration: detect a revisit on a synthetic out-and-back
+sequence with injected odometry drift, and correct it via PGO."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from flvis_tpu.config import LoopConfig
+from flvis_tpu.geometry import camera, se3, so3
+from flvis_tpu.io.synthetic import PlanarScene, SceneConfig
+from flvis_tpu.loop.loop_closing import LoopCloser
+
+
+def out_and_back_poses(n):
+    """Camera pans right then returns; frame n-1 ≈ frame 0's viewpoint."""
+    half = n // 2
+    xs = list(np.linspace(0, 0.8, half)) + list(np.linspace(0.8, 0.02, n - half))
+    poses = []
+    for x in xs:
+        R = np.eye(3)
+        C = np.array([x, 0.0, 0.0])
+        poses.append((R, -R @ C))
+    return poses
+
+
+@pytest.fixture(scope="module")
+def loop_run():
+    scfg = SceneConfig()
+    scene = PlanarScene(scfg, plane_depth=8.0, seed=11)
+    cam = camera.make(scfg.fx, scfg.fy, scfg.cx, scfg.cy, scfg.baseline,
+                      width=scfg.width, height=scfg.height)
+    cfg = LoopConfig(max_keyframes=64, num_orb_features=200, vocab_words=128,
+                     kf_start=12, kf_dist=10, kf_max_dist=64, nkf_closest=2,
+                     min_pts=12, min_score=0.03, ratio_ransac=0.3,
+                     seq_edge_successors=3)
+    lc = LoopCloser(cfg, cam)
+    n = 28
+    poses = out_and_back_poses(n)
+    # Odometry with linearly accumulating drift along +y.
+    gt_T, odo_T = [], []
+    for k, (R, t) in enumerate(poses):
+        T_gt = se3.SE3(so3.from_matrix(jnp.asarray(R, jnp.float32)), jnp.asarray(t, jnp.float32))
+        drift = 0.01 * k
+        T_odo = se3.SE3(T_gt.q, T_gt.t + jnp.asarray([0.0, drift, 0.0]))
+        gt_T.append(T_gt)
+        odo_T.append(T_odo)
+    closures = []
+    for k, (R, t) in enumerate(poses):
+        img_l, img_r, _ = scene.render(R, t)
+        idx = lc.add_keyframe(img_l, img_r, odo_T[k], frame_id=k)
+        res = lc.detect_loop(idx)
+        if res is not None:
+            closures.append(res)
+            lc.optimize_graph()
+    return lc, closures, gt_T, odo_T, n
+
+
+class TestLoopClosing:
+    def test_detects_revisit(self, loop_run):
+        lc, closures, gt_T, odo_T, n = loop_run
+        assert len(closures) >= 1, "no loop closure detected"
+        c = closures[0]
+        # The closure must connect a late frame to an early one.
+        assert c.kf_j - c.kf_i >= 10
+        assert c.num_inliers >= 12
+
+    def test_pgo_reduces_drift(self, loop_run):
+        lc, closures, gt_T, odo_T, n = loop_run
+        last = n - 1
+        C_gt = np.asarray(se3.inverse(gt_T[last]).t)
+        C_odo = np.asarray(se3.inverse(odo_T[last]).t)
+        C_corr = np.asarray(lc.kf_T_wc[last].t)
+        err_odo = np.linalg.norm(C_odo - C_gt)
+        err_corr = np.linalg.norm(C_corr - C_gt)
+        assert err_odo > 0.2  # the injected drift
+        assert err_corr < 0.6 * err_odo, (err_corr, err_odo)
+
+    def test_corrected_pose_applies_drift(self, loop_run):
+        lc, closures, gt_T, odo_T, n = loop_run
+        # The drift transform maps the newest odometry pose onto its
+        # corrected node exactly.
+        T = lc.corrected_pose(odo_T[n - 1])
+        np.testing.assert_allclose(
+            np.asarray(se3.inverse(T).t), np.asarray(lc.kf_T_wc[n - 1].t), atol=1e-5
+        )
