@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Run the SLAM engine over an EuRoC or KITTI sequence.
+
+The production entry point replacing the reference's roslaunch flow
+(`roslaunch flvis flvis_euroc_mav.launch` etc., /root/reference/README.md:
+127-131): reads the dataset directly (no ROS), runs the frontend + sliding-
+window BA (+ optional IMU fusion and loop closing), writes a TUM-format
+trajectory and reports ATE RMSE against ground truth when available.
+
+Usage:
+  python examples/run_dataset.py euroc <seq_dir> [--frames N] [--imu] [--loop]
+  python examples/run_dataset.py kitti <seq_dir> [--poses poses.txt] [--frames N] [--loop]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("dataset", choices=["euroc", "kitti"])
+    ap.add_argument("path")
+    ap.add_argument("--poses", default=None, help="KITTI ground-truth poses file")
+    ap.add_argument("--frames", type=int, default=None)
+    ap.add_argument("--imu", action="store_true", help="enable IMU fusion (EuRoC)")
+    ap.add_argument("--loop", action="store_true", help="enable loop closing + PGO")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--out", default="est_traj.tum")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from flvis_tpu.config import BackendConfig, FrontendConfig, SystemConfig
+    from flvis_tpu.io import trajectory
+    from flvis_tpu.pipeline.runner import SlamSystem
+    from flvis_tpu.utils import evaluation
+
+    if args.dataset == "euroc":
+        from flvis_tpu.io.euroc import EurocDataset
+
+        ds = EurocDataset(args.path)
+        T_i_c = ds.T_i_c
+    else:
+        from flvis_tpu.io.kitti import KittiDataset
+
+        ds = KittiDataset(args.path, poses_file=args.poses)
+        T_i_c = None
+
+    cam = ds.camera
+    fe = FrontendConfig(width=cam.width, height=cam.height, num_slots=256,
+                        pyramid_levels=4, per_cell=16)
+    cfg = SystemConfig(frontend=fe, backend=BackendConfig())
+    slam = SlamSystem(cfg, cam, T_i_c=T_i_c, use_imu=args.imu, use_loop=args.loop)
+
+    n = min(args.frames or len(ds), len(ds))
+    t0 = time.perf_counter()
+    for i, fr in enumerate(ds.frames(stop=n)):
+        if args.imu and getattr(fr, "imu_t", None) is not None and len(fr.imu_t):
+            slam.feed_imu(fr.imu_acc, fr.imu_gyro, fr.imu_t)
+        out = slam.process_frame(fr.img0, fr.img1, t_img=fr.t)
+        if i % 20 == 0:
+            status = ["UNINIT", "TRACK", "FAIL"][int(out.status)]
+            print(f"frame {i:5d}/{n}  {status}  inliers={int(out.num_inliers):3d} "
+                  f"kfs={len(slam.keyframes)}", flush=True)
+    elapsed = time.perf_counter() - t0
+    print(f"\nprocessed {n} frames in {elapsed:.1f} s ({n / elapsed:.1f} fps)")
+
+    ts = np.asarray([t for (_, t, _, _) in slam.trajectory])
+    C = slam.trajectory_cam_centers(loop_corrected=args.loop)
+    qs = np.asarray([q for (_, _, q, _) in slam.trajectory])
+    trajectory.write_tum(args.out, ts, C, qs)
+    print(f"wrote {args.out}")
+
+    # Evaluation against ground truth.
+    if args.dataset == "euroc" and ds.gt_pos is not None:
+        ia, ib = evaluation.associate(ts, ds.gt_t)
+        if len(ia) > 10:
+            rmse, _ = evaluation.ate_rmse(C[ia], ds.gt_pos[ib])
+            print(f"ATE RMSE vs ground truth: {rmse * 100:.2f} cm over {len(ia)} poses")
+    elif args.dataset == "kitti" and ds.gt_poses is not None:
+        m = min(len(C), len(ds.gt_poses))
+        rmse, _ = evaluation.ate_rmse(C[:m], ds.gt_poses[:m, :3, 3])
+        print(f"ATE RMSE vs ground truth: {rmse:.3f} m over {m} poses")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -87,10 +87,20 @@ def _lm_iterations(cam, T, pts_w, uv_obs, active, iters: int, huber_delta, lam0)
         use = active & ~behind
         r2 = jnp.sum(r * r, axis=-1)
         w = _huber_weight(r2, huber_delta) * use.astype(r.dtype)
-        H = jnp.einsum("nij,n,nik->jk", J, w, J)
-        b = jnp.einsum("nij,n,ni->j", J, w, r)
-        H_damped = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6)
-        dx = -jnp.linalg.solve(H_damped, b)
+        # Damped least squares solved directly on the Jacobian (QR/SVD), NOT
+        # via the normal equations: uniform-depth scenes make the t_x/ω_y
+        # (and t_y/ω_x) directions nearly parallel, cond(H) = cond(J)² can
+        # reach ~1e6, and an f32 normal-equation solve then corrupts the GN
+        # step badly enough that LM settles into a rotation-only basin with
+        # 3× the residual of the true pose.  TPU has no f64; factoring J
+        # keeps the conditioning at cond(J) ≈ 1e3, well within f32.
+        sw = jnp.sqrt(w)[:, None]
+        Jw = (J * sw[..., None]).reshape(-1, 6)
+        rw = (r * sw).reshape(-1)
+        col = jnp.sqrt(lam * jnp.sum(Jw * Jw, axis=0) + 1e-12)
+        A = jnp.concatenate([Jw, jnp.diag(col)], axis=0)
+        rhs = jnp.concatenate([-rw, jnp.zeros(6, rw.dtype)])
+        dx = jnp.linalg.lstsq(A, rhs)[0]
         T_new = se3m.retract_left(T, dx)
         new_cost, _ = cost_of(T_new)
         better = new_cost < cost

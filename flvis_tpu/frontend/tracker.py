@@ -140,8 +140,17 @@ def _measure_depth(cfg: FrontendConfig, cam: StereoCamera, pyr0, pyr1, table: lt
     z_med = jnp.nan_to_num(jnp.nanmedian(z3d), nan=4.0)
     z_prior = jnp.where(table.has_3d, p_c[:, 2], z_med)
     disp_guess = cam.fx * cam.baseline / jnp.clip(z_prior, cfg.depth_min, cfg.depth_max)
-    disp, ok = lk_ops.stereo_lk(pyr0, pyr1, table.uv, disp_guess, table.active,
-                                _lk_params(cfg))
+    # Cap the stereo pyramid at 3 levels: the coarsest levels of a deep
+    # pyramid (e.g. 48x64 at level 3) produce rare but catastrophic false
+    # disparities with radius-10 patches (self-consistent under the fb
+    # check), and their induced reprojection error at the TRUE pose is
+    # sub-Huber -- systematically dragging the motion BA toward
+    # rotation-only fits.  Three levels still absorb the bootstrap guess
+    # error (median-depth prior can be ~10 px off at init).
+    nlv = min(3, cfg.pyramid_levels)
+    stereo_params = dataclasses.replace(_lk_params(cfg), num_levels=nlv)
+    disp, ok = lk_ops.stereo_lk(pyr0[:nlv], pyr1[:nlv], table.uv, disp_guess,
+                                table.active, stereo_params)
     z = cam.fx * cam.baseline / jnp.maximum(disp, 1e-3)
     ok = ok & (z > cfg.depth_min) & (z < cfg.depth_max)
     return z, ok

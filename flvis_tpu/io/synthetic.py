@@ -147,6 +147,85 @@ class PlanarScene:
         return img_l, img_r, depth_l
 
 
+def export_euroc_sequence(outdir, num_frames: int = 30, fps: float = 20.0,
+                          imu_rate: float = 200.0, seed: int = 0,
+                          plane_depth: float = 8.0, step: float = 0.03):
+    """Render a synthetic scene into an EuRoC/ASL directory tree.
+
+    Produces mav0/{cam0,cam1}/{sensor.yaml,data.csv,data/*.png},
+    mav0/imu0/data.csv (gravity + finite-difference accelerations consistent
+    with the camera path) and ground truth — so the EuRoC driver, the full
+    pipeline and the evaluation can be exercised end-to-end without
+    downloading a real dataset.
+    """
+    import os
+
+    import cv2
+    import yaml
+
+    cfg = SceneConfig()
+    scene = PlanarScene(cfg, plane_depth=plane_depth, seed=seed)
+    poses = orbit_trajectory(num_frames, step=step)
+    mav = os.path.join(outdir, "mav0")
+
+    for cam, off in [("cam0", 0.0), ("cam1", cfg.baseline)]:
+        os.makedirs(os.path.join(mav, cam, "data"), exist_ok=True)
+        T = np.eye(4)
+        T[0, 3] = off
+        sensor = {
+            "T_BS": {"data": T.reshape(-1).tolist()},
+            "intrinsics": [cfg.fx, cfg.fy, cfg.cx, cfg.cy],
+            "distortion_coefficients": [0.0, 0.0, 0.0, 0.0],
+            "resolution": [cfg.width, cfg.height],
+        }
+        with open(os.path.join(mav, cam, "sensor.yaml"), "w") as f:
+            yaml.dump(sensor, f)
+
+    t0 = 100.0
+    ts_ns = []
+    centers = []
+    for i, (R, t) in enumerate(poses):
+        img_l, img_r, _ = scene.render(R, t)
+        ts = int(1e9 * (t0 + i / fps))
+        ts_ns.append(ts)
+        centers.append(-R.T @ t)
+        cv2.imwrite(os.path.join(mav, "cam0", "data", f"{ts}.png"),
+                    img_l.astype(np.uint8))
+        cv2.imwrite(os.path.join(mav, "cam1", "data", f"{ts}.png"),
+                    img_r.astype(np.uint8))
+    for cam in ["cam0", "cam1"]:
+        with open(os.path.join(mav, cam, "data.csv"), "w") as f:
+            f.write("#timestamp [ns],filename\n")
+            for ts in ts_ns:
+                f.write(f"{ts},{ts}.png\n")
+
+    # IMU: static attitude (identity R ≈ small yaw), accel = C'' + gravity.
+    centers = np.asarray(centers)
+    os.makedirs(os.path.join(mav, "imu0"), exist_ok=True)
+    n_imu = int(num_frames / fps * imu_rate)
+    t_imu = t0 + np.arange(n_imu) / imu_rate
+    # Sample C'' by interpolating centres and double-differentiating.
+    tt = t0 + np.arange(num_frames) / fps
+    acc_w = np.zeros((n_imu, 3))
+    for d in range(3):
+        c_i = np.interp(t_imu, tt, centers[:, d])
+        acc_w[1:-1, d] = (c_i[2:] - 2 * c_i[1:-1] + c_i[:-2]) * imu_rate ** 2
+    with open(os.path.join(mav, "imu0", "data.csv"), "w") as f:
+        f.write("#timestamp [ns],w_x,w_y,w_z,a_x,a_y,a_z\n")
+        for k in range(n_imu):
+            a = acc_w[k] + np.array([0.0, 0.0, 9.81])
+            f.write(f"{int(1e9 * t_imu[k])},0.0,0.0,0.0,"
+                    f"{a[0]:.6f},{a[1]:.6f},{a[2]:.6f}\n")
+
+    gdir = os.path.join(mav, "state_groundtruth_estimate0")
+    os.makedirs(gdir, exist_ok=True)
+    with open(os.path.join(gdir, "data.csv"), "w") as f:
+        f.write("#timestamp,px,py,pz,qw,qx,qy,qz\n")
+        for ts, C in zip(ts_ns, centers):
+            f.write(f"{ts},{C[0]:.6f},{C[1]:.6f},{C[2]:.6f},1,0,0,0\n")
+    return outdir
+
+
 def orbit_trajectory(num_frames: int, radius: float = 0.5, step: float = 0.02,
                      yaw_rate: float = 0.002):
     """A gently translating + yawing camera path (list of (R, t) world→cam).
