@@ -66,6 +66,44 @@ def main():
     elapsed = time.perf_counter() - t0
 
     fps = n_iters / elapsed
+
+    # --- sliding-window BA solve time (ms/keyframe) -------------------------
+    # Full window: 10 KFs × ~600 live landmarks, the reference's
+    # optimize(12)+cull+optimize(8) schedule (vo_localmap.cpp:292-319).
+    import jax.random as jr
+
+    from flvis_tpu.backend import window_ba
+    from flvis_tpu.config import BackendConfig
+    from flvis_tpu.geometry import se3, so3
+
+    bcfg = BackendConfig()
+    rng_np = np.random.default_rng(0)
+    pts = jnp.asarray(rng_np.uniform([-4, -3, 4], [4, 3, 14], (600, 3)), jnp.float32)
+    st = window_ba.empty(bcfg)
+    for i in range(bcfg.window_size):
+        q = so3.exp(jnp.asarray([0.0, 0.002 * i, 0.0]))
+        C = jnp.asarray([0.1 * i, 0.0, 0.0])
+        T = se3.SE3(q, -so3.rotate(q, C))
+        pc = se3.transform_points(T, pts)
+        uvr = jnp.stack([cam.fx * pc[:, 0] / pc[:, 2] + cam.cx,
+                         cam.fy * pc[:, 1] / pc[:, 2] + cam.cy,
+                         cam.fx * (pc[:, 0] - cam.baseline) / pc[:, 2] + cam.cx], -1)
+        pkt = window_ba.KeyframePacket(
+            frame_id=jnp.asarray(i, jnp.int32), q=T.q, t=T.t,
+            lm_id=jnp.arange(100, 700, dtype=jnp.int32),
+            lm_uv=uvr[:, :2], lm_ur=uvr[:, 2], lm_ur_mask=jnp.ones(600, bool),
+            lm_pw=pts + jr.normal(jr.PRNGKey(i), (600, 3)) * 0.05,
+            lm_mask=jnp.ones(600, bool))
+        st = window_ba.add_keyframe(bcfg, st, pkt)
+    res = window_ba.optimize(bcfg, cam, st)
+    jax.block_until_ready(res.state)
+    n_ba = 20
+    t0 = time.perf_counter()
+    for _ in range(n_ba):
+        res = window_ba.optimize(bcfg, cam, st)
+    jax.block_until_ready(res.state)
+    ba_ms = 1000.0 * (time.perf_counter() - t0) / n_ba
+
     baseline = 30.0
     result = {
         "metric": "frontend_frames_per_s",
@@ -76,6 +114,7 @@ def main():
         "config": "euroc_752x480_256slots",
         "device": str(dev),
         "ms_per_frame": round(1000.0 * elapsed / n_iters, 3),
+        "window_ba_ms_per_keyframe": round(ba_ms, 3),
     }
     print(json.dumps(result))
 

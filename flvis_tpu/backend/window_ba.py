@@ -256,9 +256,19 @@ def _total_cost(r, w_mask, delta):
     return jnp.sum(jnp.where(w_mask, rho, 0.0))
 
 
-def _schur_step(cam, poses: SE3, lm_pw, obs, w_mask, fixed_pose, lam, delta):
-    """One damped Schur-complement LM step.  Returns (new_poses, new_lm_pw)."""
+def _schur_step(cam, poses: SE3, lm_pw, obs, w_mask, fixed_pose, lam, delta,
+                axis_name=None):
+    """One damped Schur-complement LM step.  Returns (new_poses, new_lm_pw).
+
+    With `axis_name`, the landmark dimension is assumed sharded over that
+    mesh axis (shard_map): landmark blocks (Hll, A, bl, dl) stay local to
+    each device, while the small pose-system partial sums (Hpp, S_red, bp —
+    all (W,6,·)-sized) are reduced with psum over ICI.  This is the
+    distributed bundle adjustment the reference cannot do (g2o is single
+    threaded per window)."""
     obs_uv, obs_ur, ur_valid = obs
+    def reduce(x):
+        return jax.lax.psum(x, axis_name) if axis_name else x
     W = poses.q.shape[0]
     r, p_c = _residuals(cam, poses, lm_pw, obs_uv, obs_ur, ur_valid)
     Jp, Jl = _jacobians(cam, poses, p_c, ur_valid)
@@ -268,11 +278,14 @@ def _schur_step(cam, poses: SE3, lm_pw, obs, w_mask, fixed_pose, lam, delta):
     # Zero the fixed pose's Jacobian → its delta stays 0 (gauge).
     Jp = jnp.where(fixed_pose[:, None, None, None], 0.0, Jp)
 
-    Hpp = jnp.einsum("wlik,wl,wlim->wkm", Jp, wgt, Jp)            # (W, 6, 6)
-    Hll = jnp.einsum("wlik,wl,wlim->lkm", Jl, wgt, Jl)            # (L, 3, 3)
-    Hpl = jnp.einsum("wlik,wl,wlim->wlkm", Jp, wgt, Jl)           # (W, L, 6, 3)
-    bp = -jnp.einsum("wlik,wl,wli->wk", Jp, wgt, r)               # (W, 6)
-    bl = -jnp.einsum("wlik,wl,wli->lk", Jl, wgt, r)               # (L, 3)
+    # precision="highest": these normal-equation products are the numerical
+    # backbone of the solver; TPU's default bf16 matmul path is not enough.
+    hp = dict(precision="highest")
+    Hpp = reduce(jnp.einsum("wlik,wl,wlim->wkm", Jp, wgt, Jp, **hp))   # (W, 6, 6)
+    Hll = jnp.einsum("wlik,wl,wlim->lkm", Jl, wgt, Jl, **hp)           # (L, 3, 3) local
+    Hpl = jnp.einsum("wlik,wl,wlim->wlkm", Jp, wgt, Jl, **hp)          # (W, L, 6, 3) local
+    bp = -reduce(jnp.einsum("wlik,wl,wli->wk", Jp, wgt, r, **hp))      # (W, 6)
+    bl = -jnp.einsum("wlik,wl,wli->lk", Jl, wgt, r, **hp)              # (L, 3) local
 
     # Damp and invert landmark blocks.
     Hll_d = Hll + (lam * jnp.eye(3))[None] * jnp.maximum(
@@ -281,15 +294,15 @@ def _schur_step(cam, poses: SE3, lm_pw, obs, w_mask, fixed_pose, lam, delta):
     Hll_inv = jnp.linalg.inv(Hll_d)
 
     # Schur complement of the landmark block.
-    A = jnp.einsum("wlkm,lmn->wlkn", Hpl, Hll_inv)                # (W, L, 6, 3)
-    S_red = jnp.einsum("wlkn,vlmn->wvkm", A, Hpl)                 # (W, W, 6, 6)
+    A = jnp.einsum("wlkm,lmn->wlkn", Hpl, Hll_inv, precision="highest")
+    S_red = reduce(jnp.einsum("wlkn,vlmn->wvkm", A, Hpl, precision="highest"))
     Hpp_d = Hpp + (lam * jnp.eye(6))[None] * jnp.maximum(
         jnp.trace(Hpp, axis1=-2, axis2=-1)[:, None, None] / 6.0, 1e-6
     )
     S = -S_red
     S = S.at[jnp.arange(W), jnp.arange(W)].add(Hpp_d)
     S = S.transpose(0, 2, 1, 3).reshape(6 * W, 6 * W)
-    rhs = bp - jnp.einsum("wlkn,ln->wk", A, bl)
+    rhs = bp - reduce(jnp.einsum("wlkn,ln->wk", A, bl, precision="highest"))
 
     # Make the fixed pose's rows/cols an identity block so the solve is well-
     # posed with delta = 0 there.
@@ -307,14 +320,18 @@ def _schur_step(cam, poses: SE3, lm_pw, obs, w_mask, fixed_pose, lam, delta):
     return new_poses, lm_pw + dl
 
 
-def _lm_loop(cam, poses, lm_pw, obs, w_mask, fixed_pose, iters: int, delta):
+def _lm_loop(cam, poses, lm_pw, obs, w_mask, fixed_pose, iters: int, delta,
+             axis_name=None):
     obs_uv, obs_ur, ur_valid = obs
 
     def body(_, carry):
         poses, lm_pw, lam, cost = carry
-        new_poses, new_lm = _schur_step(cam, poses, lm_pw, obs, w_mask, fixed_pose, lam, delta)
+        new_poses, new_lm = _schur_step(cam, poses, lm_pw, obs, w_mask, fixed_pose,
+                                        lam, delta, axis_name)
         r, _ = _residuals(cam, new_poses, new_lm, obs_uv, obs_ur, ur_valid)
         new_cost = _total_cost(r, w_mask, delta)
+        if axis_name:
+            new_cost = jax.lax.psum(new_cost, axis_name)
         better = new_cost < cost
         poses = jax.tree.map(lambda a, b: jnp.where(better, b, a), poses, new_poses)
         lm_pw = jnp.where(better, new_lm, lm_pw)
@@ -324,6 +341,8 @@ def _lm_loop(cam, poses, lm_pw, obs, w_mask, fixed_pose, iters: int, delta):
 
     r0, _ = _residuals(cam, poses, lm_pw, obs_uv, obs_ur, ur_valid)
     cost0 = _total_cost(r0, w_mask, delta)
+    if axis_name:
+        cost0 = jax.lax.psum(cost0, axis_name)
     poses, lm_pw, _, cost = jax.lax.fori_loop(0, iters, body, (poses, lm_pw, 1e-4, cost0))
     return poses, lm_pw, cost
 

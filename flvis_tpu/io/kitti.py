@@ -62,10 +62,29 @@ class KittiDataset:
     def __len__(self):
         return len(self.files)
 
-    def frames(self, start: int = 0, stop: Optional[int] = None) -> Iterator[KittiFrame]:
+    def frames(self, start: int = 0, stop: Optional[int] = None,
+               use_native: bool = True) -> Iterator[KittiFrame]:
+        stop = stop if stop is not None else len(self)
+
+        if use_native:
+            from . import native_loader
+
+            if native_loader.available():
+                p0 = [os.path.join(self.dir, "image_0", f) for f in self.files[start:stop]]
+                p1 = [os.path.join(self.dir, "image_1", f) for f in self.files[start:stop]]
+                pf = native_loader.StereoPrefetcher(
+                    p0, p1, self.camera.width, self.camera.height)
+                try:
+                    for off, (img0, img1) in enumerate(pf):
+                        i = start + off
+                        t = float(self.times[i]) if i < len(self.times) else float(i) * 0.1
+                        yield KittiFrame(t=t, img0=img0, img1=img1)
+                finally:
+                    pf.close()
+                return
+
         import cv2
 
-        stop = stop if stop is not None else len(self)
         for i in range(start, stop):
             img0 = cv2.imread(os.path.join(self.dir, "image_0", self.files[i]),
                               cv2.IMREAD_GRAYSCALE)

@@ -114,10 +114,10 @@ def optimize(graph: PoseGraph, fixed_mask, iters: int = 20, cauchy_c: float = 1.
         JjW = Jj * w[:, None, None]
         ii = graph.edge_i
         jj = graph.edge_j
-        H = H.at[ii, ii].add(jnp.einsum("eki,ekj->eij", JiW, Ji))
-        H = H.at[jj, jj].add(jnp.einsum("eki,ekj->eij", JjW, Jj))
-        H = H.at[ii, jj].add(jnp.einsum("eki,ekj->eij", JiW, Jj))
-        H = H.at[jj, ii].add(jnp.einsum("eki,ekj->eij", JjW, Ji))
+        H = H.at[ii, ii].add(jnp.einsum("eki,ekj->eij", JiW, Ji, precision="highest"))
+        H = H.at[jj, jj].add(jnp.einsum("eki,ekj->eij", JjW, Jj, precision="highest"))
+        H = H.at[ii, jj].add(jnp.einsum("eki,ekj->eij", JiW, Jj, precision="highest"))
+        H = H.at[jj, ii].add(jnp.einsum("eki,ekj->eij", JjW, Ji, precision="highest"))
         b = b.at[ii].add(-jnp.einsum("eki,ek->ei", JiW, r))
         b = b.at[jj].add(-jnp.einsum("eki,ek->ei", JjW, r))
 

@@ -51,21 +51,43 @@ def shi_tomasi_response(img, block_radius: int = 1):
     return half_tr - jnp.sqrt(jnp.maximum((0.5 * (a - c)) ** 2 + b * b, 0.0))
 
 
-def _nms(resp, radius: int):
-    """Keep only pixels that are the maximum of their (2r+1)² neighbourhood.
+def _window_max_1d(x, radius: int, axis: int):
+    """Sliding max over a (2r+1) window along `axis` by doubling shifts —
+    O(log r) full-array max ops, far cheaper than reduce_window on TPU."""
+    def shift(a, off):
+        pad = [(0, 0), (0, 0)]
+        if off > 0:
+            pad[axis] = (off, 0)
+            sl = [slice(None), slice(None)]
+            sl[axis] = slice(0, a.shape[axis])
+            return jnp.pad(a, pad, constant_values=-jnp.inf)[tuple(sl)]
+        pad[axis] = (0, -off)
+        sl = [slice(None), slice(None)]
+        sl[axis] = slice(-off, a.shape[axis] - off)
+        return jnp.pad(a, pad, constant_values=-jnp.inf)[tuple(sl)]
 
-    Separable: a (1, k) pass then a (k, 1) pass — the square max-window
-    factorises exactly, and two 1-D reduce_windows are far cheaper than one
-    2-D window on TPU for k ≈ 15."""
-    k = 2 * radius + 1
-    pooled = jax.lax.reduce_window(
-        resp, -jnp.inf, jax.lax.max,
-        window_dimensions=(1, k), window_strides=(1, 1), padding="SAME",
-    )
-    pooled = jax.lax.reduce_window(
-        pooled, -jnp.inf, jax.lax.max,
-        window_dimensions=(k, 1), window_strides=(1, 1), padding="SAME",
-    )
+    # Build max over [0, r] forward via doubling, then combine with the
+    # mirrored backward max.
+    fwd = x
+    span = 1
+    while span < radius + 1:
+        step = min(span, radius + 1 - span)
+        fwd = jnp.maximum(fwd, shift(fwd, -step))
+        span += step
+    bwd = x
+    span = 1
+    while span < radius + 1:
+        step = min(span, radius + 1 - span)
+        bwd = jnp.maximum(bwd, shift(bwd, step))
+        span += step
+    return jnp.maximum(fwd, bwd)
+
+
+def _nms(resp, radius: int):
+    """Keep only pixels that are the maximum of their (2r+1)² neighbourhood
+    (separable doubling-shift max in each direction)."""
+    pooled = _window_max_1d(resp, radius, axis=1)
+    pooled = _window_max_1d(pooled, radius, axis=0)
     return jnp.where(resp >= pooled, resp, -jnp.inf)
 
 

@@ -15,27 +15,37 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # 5-tap binomial kernel used by cv::pyrDown.
-_PYR_K = jnp.asarray([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
+_PYR_K = np.asarray([1.0, 4.0, 6.0, 4.0, 1.0], np.float32) / 16.0
 
 
 def _sep_filter(img, kx, ky):
-    """Separable 2D filter with edge-replicate padding, (H, W) → (H, W)."""
-    rx = kx.shape[0] // 2
-    ry = ky.shape[0] // 2
-    p = jnp.pad(img, ((ry, ry), (rx, rx)), mode="edge")
-    # Horizontal pass.
-    p = jax.lax.conv_general_dilated(
-        p[None, None, :, :], kx[None, None, None, :],
-        window_strides=(1, 1), padding="VALID",
-    )[0, 0]
-    # Vertical pass.
-    p = jax.lax.conv_general_dilated(
-        p[None, None, :, :], ky[None, None, :, None],
-        window_strides=(1, 1), padding="VALID",
-    )[0, 0]
-    return p
+    """Separable 2D filter with edge-replicate padding, (H, W) → (H, W).
+
+    Implemented as shift-and-add over statically-sliced views rather than
+    lax.conv: single-channel convolutions lower very poorly on TPU (no MXU
+    path), while weighted sums of shifted full-size arrays are pure VPU
+    elementwise work that XLA fuses into a handful of passes.
+    """
+    rx = int(kx.shape[0]) // 2
+    ry = int(ky.shape[0]) // 2
+    h, w = img.shape
+    kxv = [float(v) for v in np.asarray(kx)]
+    kyv = [float(v) for v in np.asarray(ky)]
+
+    p = jnp.pad(img, ((0, 0), (rx, rx)), mode="edge")
+    acc = None
+    for i, wgt in enumerate(kxv):
+        term = p[:, i:i + w] * wgt
+        acc = term if acc is None else acc + term
+    p = jnp.pad(acc, ((ry, ry), (0, 0)), mode="edge")
+    acc = None
+    for i, wgt in enumerate(kyv):
+        term = p[i:i + h, :] * wgt
+        acc = term if acc is None else acc + term
+    return acc
 
 
 def pyr_down(img):
@@ -71,23 +81,23 @@ def build_grad_pyramid(img, num_levels: int):
 
 def scharr_gradients(img):
     """(Ix, Iy) via the 3×3 Scharr operator (OpenCV's LK derivative choice)."""
-    smooth = jnp.asarray([3.0, 10.0, 3.0]) / 32.0
-    diff = jnp.asarray([-1.0, 0.0, 1.0])
+    smooth = np.asarray([3.0, 10.0, 3.0], np.float32) / 32.0
+    diff = np.asarray([-1.0, 0.0, 1.0], np.float32)
     ix = _sep_filter(img, diff, smooth)
     iy = _sep_filter(img, smooth, diff)
     return ix, iy
 
 
 def sobel_gradients(img):
-    smooth = jnp.asarray([1.0, 2.0, 1.0]) / 4.0
-    diff = jnp.asarray([-1.0, 0.0, 1.0]) / 2.0
+    smooth = np.asarray([1.0, 2.0, 1.0], np.float32) / 4.0
+    diff = np.asarray([-1.0, 0.0, 1.0], np.float32) / 2.0
     ix = _sep_filter(img, diff, smooth)
     iy = _sep_filter(img, smooth, diff)
     return ix, iy
 
 
 def box_filter(img, radius: int):
-    k = jnp.ones(2 * radius + 1) / (2 * radius + 1)
+    k = np.ones(2 * radius + 1, np.float32) / (2 * radius + 1)
     return _sep_filter(img, k, k)
 
 
@@ -176,10 +186,10 @@ def equalize_hist(img, num_bins: int = 256):
     return lut[flat.astype(jnp.int32)].reshape(img.shape)
 
 
-@functools.partial(jax.jit, static_argnames=("ksize",))
+@functools.partial(jax.jit, static_argnames=("sigma", "ksize"))
 def gaussian_blur(img, sigma: float = 1.0, ksize: int = 5):
     r = ksize // 2
-    xs = jnp.arange(-r, r + 1, dtype=jnp.float32)
-    k = jnp.exp(-0.5 * (xs / sigma) ** 2)
-    k = k / jnp.sum(k)
+    xs = np.arange(-r, r + 1, dtype=np.float32)
+    k = np.exp(-0.5 * (xs / float(sigma)) ** 2)
+    k = k / np.sum(k)
     return _sep_filter(img, k, k)

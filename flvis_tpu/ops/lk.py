@@ -43,16 +43,19 @@ def _track_level(img_prev, grad_x, grad_y, img_next, pts_prev, flow, valid, p: L
     border handling; points are only bounds-culled at the finest level.
     """
     r = p.radius
+    n = pts_prev.shape[0]
 
-    # Template patches + gradients at the (fixed) previous-frame locations.
-    t_patch = imops.extract_patches(img_prev, pts_prev, r)          # (N,S,S)
-    gx = imops.extract_patches(grad_x, pts_prev, r)
-    gy = imops.extract_patches(grad_y, pts_prev, r)
+    # Template patch + its gradients in ONE batched extraction: vmap the
+    # patch gather over a stacked (3, H, W) channel array — one fused gather
+    # instead of three.
+    stacked = jnp.stack([img_prev, grad_x, grad_y])
+    tgg = jax.vmap(lambda im: imops.extract_patches(im, pts_prev, r))(stacked)
+    t_patch, gx, gy = tgg[0], tgg[1], tgg[2]             # (N, S, S) each
 
     # 2x2 structure tensor per point (constant across iterations).
-    a11 = jnp.sum(gx * gx, axis=(1, 2))
-    a12 = jnp.sum(gx * gy, axis=(1, 2))
-    a22 = jnp.sum(gy * gy, axis=(1, 2))
+    G = jnp.stack([gx.reshape(n, -1), gy.reshape(n, -1)], axis=-1)  # (N, S², 2)
+    A = jnp.einsum("nsk,nsl->nkl", G, G)
+    a11, a12, a22 = A[:, 0, 0], A[:, 0, 1], A[:, 1, 1]
     det = a11 * a22 - a12 * a12
     tr = a11 + a22
     min_eig = (tr - jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0))) * 0.5
@@ -60,22 +63,22 @@ def _track_level(img_prev, grad_x, grad_y, img_next, pts_prev, flow, valid, p: L
     wellcond = min_eig / patch_area > p.min_eig
     update_ok = valid & wellcond
     det_safe = jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
+    t_flat = t_patch.reshape(n, -1)
 
     def body(_, carry):
         flow, converged = carry
         cur = imops.extract_patches(img_next, pts_prev + flow, r)
-        e = cur - t_patch
-        b1 = jnp.sum(gx * e, axis=(1, 2))
-        b2 = jnp.sum(gy * e, axis=(1, 2))
-        dx = (a22 * b1 - a12 * b2) / det_safe
-        dy = (a11 * b2 - a12 * b1) / det_safe
+        e = cur.reshape(n, -1) - t_flat
+        b = jnp.einsum("ns,nsk->nk", e, G)               # (N, 2)
+        dx = (a22 * b[:, 0] - a12 * b[:, 1]) / det_safe
+        dy = (a11 * b[:, 1] - a12 * b[:, 0]) / det_safe
         delta = jnp.stack([-dx, -dy], axis=-1)
         step_ok = update_ok & ~converged
         flow = jnp.where(step_ok[:, None], flow + delta, flow)
         converged = converged | (jnp.sum(delta * delta, axis=-1) < p.eps * p.eps)
         return flow, converged
 
-    flow, _ = jax.lax.fori_loop(0, p.iters, body, (flow, jnp.zeros(flow.shape[0], bool)))
+    flow, _ = jax.lax.fori_loop(0, p.iters, body, (flow, jnp.zeros(n, bool)))
     return flow, wellcond
 
 

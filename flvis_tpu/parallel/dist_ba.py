@@ -1,0 +1,104 @@
+"""Distributed sliding-window bundle adjustment over a device mesh.
+
+The scaling design from SURVEY.md §2.3 / BASELINE.json: landmark blocks are
+partitioned across devices; each device forms the Schur complement
+contribution of ITS landmarks locally (Hll inversion and back-substitution
+never leave the device), and only the small reduced camera system — (W,6,6)
+partial sums — crosses the interconnect via psum.  Communication per LM
+iteration is O(W²·36) floats regardless of landmark count, so the collective
+rides ICI latency, not bandwidth.
+
+The reference's g2o backend is a single-threaded CPU solver
+(/root/reference/src/backend/vo_localmap.cpp:292-319); it has no distributed
+story — this module is where the TPU build goes beyond it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..backend import window_ba
+from ..backend.window_ba import WindowState
+from ..config import BackendConfig
+from ..geometry.camera import StereoCamera
+from ..geometry.se3 import SE3
+
+
+def make_lm_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()[: n_devices or len(jax.devices())]
+    return jax.make_mesh((len(devs),), ("lm",), devices=devs,
+                         axis_types=(jax.sharding.AxisType.Auto,))
+
+
+def shard_window_state(mesh: Mesh, state: WindowState) -> WindowState:
+    """Place the landmark axis of a WindowState on the mesh's `lm` axis.
+
+    Pose arrays (leading W axis) are replicated; per-landmark arrays (L) and
+    observation matrices (W, L) are sharded on L.
+    """
+    def put(a, spec):
+        return jax.device_put(a, NamedSharding(mesh, spec))
+
+    return WindowState(
+        kf_q=put(state.kf_q, P()), kf_t=put(state.kf_t, P()),
+        kf_frame_id=put(state.kf_frame_id, P()), kf_valid=put(state.kf_valid, P()),
+        lm_pw=put(state.lm_pw, P("lm")), lm_id=put(state.lm_id, P("lm")),
+        lm_valid=put(state.lm_valid, P("lm")),
+        obs_uv=put(state.obs_uv, P(None, "lm")),
+        obs_ur=put(state.obs_ur, P(None, "lm")),
+        obs_ur_valid=put(state.obs_ur_valid, P(None, "lm")),
+        obs_valid=put(state.obs_valid, P(None, "lm")),
+        head=put(state.head, P()), count=put(state.count, P()),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
+def optimize_sharded(cfg: BackendConfig, mesh: Mesh, cam: StereoCamera,
+                     state: WindowState):
+    """The two-phase windowed BA with the landmark axis sharded over `lm`.
+
+    Same math and schedule as window_ba.optimize; the per-shard step reuses
+    window_ba's internals with an axis_name so partial pose-system sums are
+    psum-reduced.  Returns (poses SE3 (W,), lm_pw (L, 3), cost).
+    """
+    poses = state.poses()
+    w_mask_full = state.obs_valid & state.kf_valid[:, None] & state.lm_valid[None, :]
+    fid = jnp.where(state.kf_valid, state.kf_frame_id, jnp.iinfo(jnp.int32).max)
+    fixed_pose = jnp.arange(state.window) == jnp.argmin(fid)
+
+    def shard_fn(poses, lm_pw, obs_uv, obs_ur, obs_ur_valid, w_mask, fixed_pose):
+        obs = (obs_uv, obs_ur, obs_ur_valid & w_mask)
+        poses1, lm1, _ = window_ba._lm_loop(
+            cam, poses, lm_pw, obs, w_mask, fixed_pose, cfg.iters1,
+            cfg.huber_delta, axis_name="lm",
+        )
+        r1, _ = window_ba._residuals(cam, poses1, lm1, obs_uv, obs_ur,
+                                     obs_ur_valid & w_mask)
+        chi2 = jnp.sum(r1 * r1, axis=-1)
+        w_mask2 = w_mask & (chi2 < cfg.chi2_cull)
+        obs2 = (obs_uv, obs_ur, obs_ur_valid & w_mask2)
+        poses2, lm2, cost = window_ba._lm_loop(
+            cam, poses1, lm1, obs2, w_mask2, fixed_pose, cfg.iters2,
+            cfg.huber_delta, axis_name="lm",
+        )
+        return poses2, lm2, cost
+
+    shardmapped = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P("lm"), P(None, "lm"), P(None, "lm"), P(None, "lm"),
+                  P(None, "lm"), P()),
+        out_specs=(P(), P("lm"), P()),
+    )
+    poses2, lm2, cost = shardmapped(
+        poses, state.lm_pw, state.obs_uv, state.obs_ur, state.obs_ur_valid,
+        w_mask_full, fixed_pose,
+    )
+    ready = state.count >= 3
+    poses_out = jax.tree.map(lambda a, b: jnp.where(ready, b, a), poses, poses2)
+    lm_out = jnp.where(ready, lm2, state.lm_pw)
+    return poses_out, lm_out, cost

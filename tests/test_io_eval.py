@@ -164,3 +164,33 @@ class TestKittiDriver:
         assert len(frames) == 3
         assert frames[0].img0.shape == (60, 80)
         assert ds.gt_poses.shape == (3, 4, 4)
+
+
+class TestNativeLoader:
+    def test_decode_matches_cv2(self, tmp_path, rng):
+        import cv2
+        from flvis_tpu.io import native_loader as nl
+
+        if not nl.available():
+            import pytest
+            pytest.skip("native loader not built")
+        img = rng.integers(0, 255, (48, 64), np.uint8)
+        p = str(tmp_path / "t.png")
+        cv2.imwrite(p, img)
+        got = nl.decode_png_gray(p)
+        np.testing.assert_allclose(got, img.astype(np.float32))
+
+    def test_kitti_native_path(self, tmp_path):
+        from flvis_tpu.io import native_loader as nl
+        from flvis_tpu.io.kitti import KittiDataset
+
+        if not nl.available():
+            import pytest
+            pytest.skip("native loader not built")
+        make_kitti_fixture(tmp_path)
+        ds = KittiDataset(str(tmp_path))
+        native = [f.img0 for f in ds.frames(use_native=True)]
+        cv_ = [f.img0 for f in ds.frames(use_native=False)]
+        assert len(native) == len(cv_) == 3
+        for a, b in zip(native, cv_):
+            np.testing.assert_allclose(a, b)

@@ -1,0 +1,80 @@
+"""Multi-device tests on the 8-virtual-device CPU mesh: data-parallel
+multi-sequence tracking and landmark-sharded distributed BA."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flvis_tpu.backend import window_ba
+from flvis_tpu.config import BackendConfig, FrontendConfig
+from flvis_tpu.geometry import camera, se3
+from flvis_tpu.parallel import dist_ba, multiseq
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs multi-device mesh")
+class TestMultiSeq:
+    def test_batched_step_sharded(self):
+        from flvis_tpu.io.synthetic import PlanarScene, SceneConfig, orbit_trajectory
+
+        S = 4
+        cfg = FrontendConfig(width=256, height=192, num_slots=64, pyramid_levels=3,
+                             per_cell=4, min_distance=10.0, margin=12, lk_radius=7,
+                             ransac_hypotheses=32)
+        mesh = multiseq.make_mesh(S)
+        cam1 = camera.make(200.0, 200.0, 128.0, 96.0, 0.12, width=256, height=192)
+        cams = jax.tree.map(
+            lambda a: jnp.broadcast_to(jnp.asarray(a), (S,) + jnp.shape(jnp.asarray(a))),
+            cam1,
+        )
+        states = multiseq.init_states(cfg, S, mesh)
+        scfg = SceneConfig(width=256, height=192, fx=200.0, fy=200.0, cx=128.0,
+                           cy=96.0, baseline=0.12)
+        scene = PlanarScene(scfg, plane_depth=8.0, seed=0)
+        (R, t), (R2, t2) = orbit_trajectory(2, step=0.03)
+        il, ir, _ = scene.render(R, t)
+        il2, ir2, _ = scene.render(R2, t2)
+        # Identical keys so identical inputs give bitwise-identical sequences
+        # (distinct keys would vary the RANSAC sampling slightly).
+        keys = jnp.tile(jax.random.PRNGKey(0)[None], (S, 1))
+
+        def sharded_imgs(a):
+            return multiseq.shard_batch(mesh, jnp.broadcast_to(jnp.asarray(a), (S,) + a.shape))
+
+        cams = multiseq.shard_batch(mesh, cams)
+        states, outs = multiseq.track_frame_batch(
+            cfg, cams, states, sharded_imgs(il), sharded_imgs(ir), keys)
+        states, outs = multiseq.track_frame_batch(
+            cfg, cams, states, sharded_imgs(il2), sharded_imgs(ir2), keys)
+        st = np.asarray(outs.status)
+        assert st.shape == (S,)
+        assert np.all(st == 1)
+        # All sequences see identical input → identical outputs.
+        t_all = np.asarray(outs.T_c_w.t)
+        np.testing.assert_allclose(t_all, np.broadcast_to(t_all[0], t_all.shape), atol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs multi-device mesh")
+class TestDistBA:
+    def test_sharded_matches_single_device(self, rng):
+        import tests.test_window_ba as twb
+
+        cfg = BackendConfig(window_size=5, max_landmarks=128, min_views=3,
+                            iters1=6, iters2=4)
+        cam = twb.CAM
+        pts = twb.make_world(rng)
+        st = window_ba.empty(cfg)
+        for i in range(5):
+            st = window_ba.add_keyframe(
+                cfg, st, twb.packet(i, pts, rng, pose_noise=0.0 if i == 0 else 0.02,
+                                    pw_noise=0.1))
+        # Reference: single-device optimize.
+        res = window_ba.optimize(cfg, cam, st)
+        # Sharded: same state over a 4-device lm mesh.
+        mesh = dist_ba.make_lm_mesh(4)
+        st_sh = dist_ba.shard_window_state(mesh, st)
+        poses, lm_pw, cost = dist_ba.optimize_sharded(cfg, mesh, cam, st_sh)
+        np.testing.assert_allclose(np.asarray(poses.t), np.asarray(res.state.kf_t),
+                                   atol=5e-4)
+        np.testing.assert_allclose(np.asarray(lm_pw), np.asarray(res.state.lm_pw),
+                                   atol=5e-3)
