@@ -10,6 +10,8 @@ trajectory and reports ATE RMSE against ground truth when available.
 Usage:
   python examples/run_dataset.py euroc <seq_dir> [--frames N] [--imu] [--loop]
   python examples/run_dataset.py kitti <seq_dir> [--poses poses.txt] [--frames N] [--loop]
+  python examples/run_dataset.py d435i <file.bag> --depth --imu \
+      [--img0 /camera/infra1/image_rect_raw] [--img1 /camera/aligned_depth_to_color/image_raw]
 """
 
 import argparse
@@ -22,8 +24,17 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("dataset", choices=["euroc", "kitti"])
+    ap.add_argument("dataset", choices=["euroc", "kitti", "d435i"])
     ap.add_argument("path")
+    ap.add_argument("--img0", default="/camera/infra1/image_rect_raw")
+    ap.add_argument("--img1", default="/camera/infra2/image_rect_raw")
+    ap.add_argument("--depth", action="store_true",
+                    help="d435i: img1 topic is an aligned depth image")
+    ap.add_argument("--fx", type=float, default=382.6)
+    ap.add_argument("--fy", type=float, default=382.6)
+    ap.add_argument("--cx", type=float, default=320.0)
+    ap.add_argument("--cy", type=float, default=240.0)
+    ap.add_argument("--baseline", type=float, default=0.05)
     ap.add_argument("--poses", default=None, help="KITTI ground-truth poses file")
     ap.add_argument("--frames", type=int, default=None)
     ap.add_argument("--imu", action="store_true", help="enable IMU fusion (EuRoC)")
@@ -47,15 +58,38 @@ def main():
 
         ds = EurocDataset(args.path)
         T_i_c = ds.T_i_c
-    else:
+        cam = ds.camera
+    elif args.dataset == "kitti":
         from flvis_tpu.io.kitti import KittiDataset
 
         ds = KittiDataset(args.path, poses_file=args.poses)
         T_i_c = None
+        cam = ds.camera
+    else:  # d435i rosbag
+        from flvis_tpu.geometry import camera as cam_m
+        from flvis_tpu.io import rosbag as bag
 
-    cam = ds.camera
+        class _BagDS:
+            def __init__(self):
+                self.gt_pos = None
+                self._frames = bag.d435i_frames(args.path, args.img0, args.img1)
+
+            def __len__(self):
+                return args.frames or 10 ** 9
+
+            def frames(self, stop=None):
+                import itertools
+                return itertools.islice(self._frames, stop)
+
+        ds = _BagDS()
+        T_i_c = None
+        cam = cam_m.make(args.fx, args.fy, args.cx, args.cy,
+                         baseline=0.0 if args.depth else args.baseline,
+                         depth_factor=1000.0,
+                         width=int(2 * args.cx), height=int(2 * args.cy))
     fe = FrontendConfig(width=cam.width, height=cam.height, num_slots=256,
-                        pyramid_levels=4, per_cell=16)
+                        pyramid_levels=4, per_cell=16,
+                        depth_mode=(args.dataset == "d435i" and args.depth))
     cfg = SystemConfig(frontend=fe, backend=BackendConfig())
     slam = SlamSystem(cfg, cam, T_i_c=T_i_c, use_imu=args.imu, use_loop=args.loop)
 

@@ -36,6 +36,9 @@ class FrontendConfig:
     height: int = 480
     num_slots: int = 256            # landmark table capacity (16 cells × 16)
     pyramid_levels: int = 4
+    # Depth source: False = rectified stereo (img1 is the right image);
+    # True = RGB-D (img1 is a raw depth image, VI_TYPE_D435I_DEPTH mode).
+    depth_mode: bool = False
 
     # --- feature detection (feature_para*, vo_tracking.cpp:126-134) ---
     grid_rows: int = 4

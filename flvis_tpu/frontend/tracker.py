@@ -124,14 +124,21 @@ def _lk_params(cfg: FrontendConfig) -> lk_ops.LKParams:
     )
 
 
-def _measure_depth(cfg: FrontendConfig, cam: StereoCamera, pyr0, pyr1, table: lt.LandmarkTable,
-                   T_c_w: SE3):
-    """Stereo depth for all active slots at their current uv.
+def _measure_depth(cfg: FrontendConfig, cam: StereoCamera, pyr0, pyr1, d_img,
+                   table: lt.LandmarkTable, T_c_w: SE3):
+    """Depth measurement for all active slots at their current uv.
 
-    Replaces CameraFrame::recover3DPts_c_FromStereo's inner LK + per-point SVD
-    (camera_frame.cpp:93-180) with one batched left→right LK and the
-    closed-form rectified-disparity depth.
+    Stereo mode: replaces CameraFrame::recover3DPts_c_FromStereo's inner LK
+    + per-point SVD (camera_frame.cpp:93-180) with one batched left→right LK
+    and the closed-form rectified-disparity depth.  Depth mode: bilinear
+    depth-image lookup / depth_factor with range gating
+    (recover3DPts_c_FromDepthImg, camera_frame.cpp:182-234).
     """
+    if cfg.depth_mode:
+        z = imops.bilinear_sample(d_img, table.uv) / cam.depth_factor
+        ok = table.active & (z > cfg.depth_min) & (z < cfg.depth_max)
+        return z, ok
+
     p_c = se3m.transform_points(T_c_w, table.p_w)
     # Disparity prior: own depth where known, else the median depth of the
     # current 3D landmarks (scene-adaptive; a fixed wrong prior can trap the
@@ -153,14 +160,6 @@ def _measure_depth(cfg: FrontendConfig, cam: StereoCamera, pyr0, pyr1, table: lt
                                 table.active, stereo_params)
     z = cam.fx * cam.baseline / jnp.maximum(disp, 1e-3)
     ok = ok & (z > cfg.depth_min) & (z < cfg.depth_max)
-    return z, ok
-
-
-def _depth_from_image(cfg: FrontendConfig, cam: StereoCamera, d_img, table: lt.LandmarkTable):
-    """RGB-D path: bilinear depth lookup / depth_factor with range gating
-    (CameraFrame::recover3DPts_c_FromDepthImg, camera_frame.cpp:182-234)."""
-    z = imops.bilinear_sample(d_img, table.uv) / cam.depth_factor
-    ok = table.active & (z > cfg.depth_min) & (z < cfg.depth_max)
     return z, ok
 
 
@@ -243,12 +242,12 @@ def _redetect(cfg: FrontendConfig, img0, table: lt.LandmarkTable, T_c_w: SE3, ne
 
 
 def _init_branch(cfg: FrontendConfig, cam: StereoCamera, state: TrackerState,
-                 pyr0, pyr1, T_init: SE3, key):
+                 pyr0, pyr1, d_img, T_init: SE3, key):
     """UnInit / TrackingFail recovery: wipe, detect, recover depth
     (f2f_tracking.cpp:402-453 init_frame; recovery at 357-394)."""
     table = lt.empty(cfg.num_slots, state.table.uv.dtype)
     table, next_id = _redetect(cfg, pyr0[0][0], table, T_init, state.next_lm_id)
-    z, ok = _measure_depth(cfg, cam, pyr0, pyr1, table, T_init)
+    z, ok = _measure_depth(cfg, cam, pyr0, pyr1, d_img, table, T_init)
     table = _depth_innovation(cfg, cam, table, T_init, z, ok, key, bootstrap=True)
     new_state = dataclasses.replace(
         state,
@@ -273,7 +272,7 @@ def _init_branch(cfg: FrontendConfig, cam: StereoCamera, state: TrackerState,
 
 
 def _track_branch(cfg: FrontendConfig, cam: StereoCamera, state: TrackerState,
-                  pyr0, pyr1, T_prior: SE3, key):
+                  pyr0, pyr1, d_img, T_prior: SE3, key):
     table = state.table
     k_ransac, k_depth = jax.random.split(key)
 
@@ -327,7 +326,7 @@ def _track_branch(cfg: FrontendConfig, cam: StereoCamera, state: TrackerState,
     table, next_id = _redetect(cfg, pyr0[0][0], table, T_new, state.next_lm_id)
 
     # --- STEP6: depth innovation --------------------------------------------
-    z, z_ok = _measure_depth(cfg, cam, pyr0, pyr1, table, T_new)
+    z, z_ok = _measure_depth(cfg, cam, pyr0, pyr1, d_img, table, T_new)
     table = _depth_innovation(cfg, cam, table, T_new, z, z_ok, k_depth)
 
     # --- STEP7/8: motion model + keyframe decision --------------------------
@@ -388,9 +387,13 @@ def track_frame(cfg: FrontendConfig, cam: StereoCamera, state: TrackerState,
     img0 = imops.equalize_hist(img0) if cfg.equalize else img0
     # Gradient pyramids are built once per image and reused by the temporal
     # LK (prev frame's, cached in state), the stereo forward pass and the
-    # stereo backward check.
+    # stereo backward check.  In depth mode img1 is the raw depth image and
+    # needs no pyramid.
     pyr0 = imops.build_grad_pyramid(img0, cfg.pyramid_levels)
-    pyr1 = imops.build_grad_pyramid(img1, cfg.pyramid_levels)
+    if cfg.depth_mode:
+        pyr1, d_img = None, img1
+    else:
+        pyr1, d_img = imops.build_grad_pyramid(img1, cfg.pyramid_levels), None
 
     if use_prior and prior_T is not None:
         T_pred = prior_T
@@ -398,10 +401,10 @@ def track_frame(cfg: FrontendConfig, cam: StereoCamera, state: TrackerState,
         T_pred = se3m.compose(se3m.exp(state.velocity), state.T_prev)
 
     def do_init(st):
-        return _init_branch(cfg, cam, st, pyr0, pyr1, T_pred, rng_key)
+        return _init_branch(cfg, cam, st, pyr0, pyr1, d_img, T_pred, rng_key)
 
     def do_track(st):
-        return _track_branch(cfg, cam, st, pyr0, pyr1, T_pred, rng_key)
+        return _track_branch(cfg, cam, st, pyr0, pyr1, d_img, T_pred, rng_key)
 
     new_state, out = jax.lax.cond(state.status == STATUS_TRACKING, do_track, do_init, state)
     # Record this frame's pose in the rebase ring (STEP7 pose_records push,

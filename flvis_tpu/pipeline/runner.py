@@ -57,11 +57,22 @@ class SlamSystem:
 
     # ------------------------------------------------------------------ IMU
     def feed_imu(self, acc, gyro, t):
-        """Feed a batch of IMU samples (arrays (B,3), (B,3), (B,))."""
+        """Feed a batch of IMU samples (arrays (B,3), (B,3), (B,)).
+
+        Batches are padded to the next multiple of 16 with a validity mask so
+        jitter in per-frame IMU counts doesn't trigger recompiles."""
+        b = len(t)
+        if b == 0:
+            return
+        pad = (-b) % 16
+        acc = np.concatenate([np.asarray(acc, np.float32), np.zeros((pad, 3), np.float32)])
+        gyro = np.concatenate([np.asarray(gyro, np.float32), np.zeros((pad, 3), np.float32)])
+        tt = np.concatenate([np.asarray(t, np.float32), np.zeros(pad, np.float32)])
+        valid = np.arange(b + pad) < b
         self.vio_state = vimotion.imu_feed_batch(
             self.cfg.vio, self.vio_state,
-            jnp.asarray(acc, jnp.float32), jnp.asarray(gyro, jnp.float32),
-            jnp.asarray(t, jnp.float32),
+            jnp.asarray(acc), jnp.asarray(gyro), jnp.asarray(tt),
+            jnp.asarray(valid),
         )
 
     # ---------------------------------------------------------------- frame

@@ -112,17 +112,22 @@ def _madgwick_step(q, gyro, acc, beta, dt):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
-def imu_feed_batch(cfg: VioConfig, state: VioState, acc_batch, gyro_batch, t_batch):
+def imu_feed_batch(cfg: VioConfig, state: VioState, acc_batch, gyro_batch, t_batch,
+                   valid=None):
     """Integrate a batch of IMU samples (arrays (B, 3), (B, 3), (B,)).
 
     Replaces the per-sample imu_feed callback path
     (f2f_tracking.cpp:46-57 → viIMUinitialization / viIMUPropagation) with a
     lax.scan, so an entire inter-frame IMU packet is one device program.
+    `valid` masks padding rows so callers can pad batches to a few fixed
+    sizes and avoid per-shape recompiles.
     """
     g_w = jnp.asarray([0.0, 0.0, -cfg.gravity])
+    if valid is None:
+        valid = jnp.ones(t_batch.shape[0], bool)
 
     def step(st, sample):
-        acc, gyro, t = sample
+        acc, gyro, t, ok = sample
 
         def do_init(st):
             n = st.init_count + 1
@@ -172,10 +177,11 @@ def imu_feed_batch(cfg: VioConfig, state: VioState, acc_batch, gyro_batch, t_bat
                 count=jnp.minimum(st.count + 1, cfg.imu_capacity),
             )
 
-        st = jax.lax.cond(st.initialized, do_prop, do_init, st)
+        new_st = jax.lax.cond(st.initialized, do_prop, do_init, st)
+        st = jax.tree.map(lambda a, b: jnp.where(ok, b, a), st, new_st)
         return st, None
 
-    state, _ = jax.lax.scan(step, state, (acc_batch, gyro_batch, t_batch))
+    state, _ = jax.lax.scan(step, state, (acc_batch, gyro_batch, t_batch, valid))
     return state
 
 

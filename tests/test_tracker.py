@@ -134,3 +134,28 @@ class TestFailureRecovery:
         assert int(out.status) == tracker.STATUS_TRACKING
         assert bool(out.reset_backend)
         assert bool(out.is_keyframe)
+
+
+class TestDepthMode:
+    def test_rgbd_tracking(self):
+        """D435I_DEPTH-style mode: gray + depth image instead of stereo."""
+        scfg = SceneConfig()
+        scene = PlanarScene(scfg, plane_depth=8.0, seed=5)
+        poses = orbit_trajectory(12, step=0.03)
+        cfg = small_cfg(depth_mode=True)
+        cam = camera.make(scfg.fx, scfg.fy, scfg.cx, scfg.cy, baseline=0.0,
+                          depth_factor=1000.0, width=scfg.width, height=scfg.height)
+        state = tracker.init_state(cfg)
+        errs = []
+        for (R, t) in poses:
+            img_l, _, depth = scene.render(R, t)
+            d_img = (depth * 1000.0).astype(np.float32)  # Z16 millimetres
+            state, out = tracker.track_frame(cfg, cam, state, jnp.asarray(img_l),
+                                             jnp.asarray(d_img))
+            C_gt = -R.T @ t
+            R_e = np.asarray(so3.to_matrix(out.T_c_w.q))
+            C_e = -R_e.T @ np.asarray(out.T_c_w.t)
+            errs.append(np.linalg.norm(C_gt - C_e))
+        assert int(out.status) == tracker.STATUS_TRACKING
+        ate = np.sqrt(np.mean(np.square(errs)))
+        assert ate < 0.02, f"RGB-D ATE {ate:.4f} m"
