@@ -226,6 +226,40 @@ def export_euroc_sequence(outdir, num_frames: int = 30, fps: float = 20.0,
     return outdir
 
 
+def export_kitti_sequence(outdir, num_frames: int = 30, seed: int = 0,
+                          plane_depth: float = 8.0, step: float = 0.03):
+    """Render a synthetic scene into a KITTI odometry sequence directory
+    (image_0/, image_1/, calib.txt, times.txt, poses.txt) so the KITTI
+    driver + native loader + evaluation run end-to-end without data."""
+    import os
+
+    import cv2
+
+    cfg = SceneConfig()
+    scene = PlanarScene(cfg, plane_depth=plane_depth, seed=seed)
+    poses = orbit_trajectory(num_frames, step=step)
+    os.makedirs(os.path.join(outdir, "image_0"), exist_ok=True)
+    os.makedirs(os.path.join(outdir, "image_1"), exist_ok=True)
+    with open(os.path.join(outdir, "calib.txt"), "w") as f:
+        f.write(f"P0: {cfg.fx} 0 {cfg.cx} 0 0 {cfg.fy} {cfg.cy} 0 0 0 1 0\n")
+        f.write(f"P1: {cfg.fx} 0 {cfg.cx} {-cfg.fx * cfg.baseline} 0 {cfg.fy} "
+                f"{cfg.cy} 0 0 0 1 0\n")
+    np.savetxt(os.path.join(outdir, "times.txt"), 0.1 * np.arange(num_frames))
+    gt = []
+    for i, (R, t) in enumerate(poses):
+        img_l, img_r, _ = scene.render(R, t)
+        cv2.imwrite(os.path.join(outdir, "image_0", f"{i:06d}.png"),
+                    img_l.astype(np.uint8))
+        cv2.imwrite(os.path.join(outdir, "image_1", f"{i:06d}.png"),
+                    img_r.astype(np.uint8))
+        T_w_c = np.eye(4)
+        T_w_c[:3, :3] = R.T
+        T_w_c[:3, 3] = -R.T @ t
+        gt.append(T_w_c[:3].reshape(-1))
+    np.savetxt(os.path.join(outdir, "poses.txt"), np.asarray(gt))
+    return outdir
+
+
 def orbit_trajectory(num_frames: int, radius: float = 0.5, step: float = 0.02,
                      yaw_rate: float = 0.002):
     """A gently translating + yawing camera path (list of (R, t) world→cam).

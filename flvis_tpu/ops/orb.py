@@ -155,7 +155,17 @@ def detect_and_compute(img, num_features: int = 500, threshold: float = 20.0):
 
 
 def hamming_matrix(desc_a, desc_b):
-    """(Na, Nb) Hamming distances between packed (·, 8) uint32 descriptors."""
+    """(Na, Nb) Hamming distances between packed (·, 8) uint32 descriptors.
+
+    On TPU, large problems route to the fused Pallas MXU kernel
+    (ops/pallas/hamming.py: in-VMEM bit-unpack + matmul — ~3× the XLA
+    popcount path at 512×4096); small problems and other backends use
+    XOR + population_count."""
+    if (jax.default_backend() == "tpu"
+            and desc_a.shape[0] * desc_b.shape[0] >= 128 * 128):
+        from .pallas.hamming import hamming_matrix_pallas
+
+        return hamming_matrix_pallas(desc_a, desc_b)
     x = jnp.bitwise_xor(desc_a[:, None, :], desc_b[None, :, :])
     return jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
 

@@ -151,3 +151,17 @@ class TestPnP:
         dt, _ = se3.distance(T, T_true)
         assert float(dt) < 0.02
         assert not np.any(np.asarray(inl)[25:])
+
+
+class TestPallasHamming:
+    def test_matches_popcount_reference(self, rng):
+        """The Pallas MXU kernel (interpret mode on CPU) must agree exactly
+        with the XOR+popcount formulation, including padding edges."""
+        from flvis_tpu.ops.pallas.hamming import hamming_matrix_pallas
+
+        a = jnp.asarray(rng.integers(0, 2**32, (130, 8), dtype=np.uint32))
+        b = jnp.asarray(rng.integers(0, 2**32, (300, 8), dtype=np.uint32))
+        x = jnp.bitwise_xor(a[:, None, :], b[None, :, :])
+        want = jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
+        got = hamming_matrix_pallas(a, b)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
