@@ -69,6 +69,7 @@ class FrontendConfig:
     iir_ratio: float = 0.3              # depth innovation IIR blend
     depth_min: float = 0.1
     depth_max: float = 100.0
+    tri_min_baseline: float = 0.2       # motion-triangulation baseline gate (m)
     dummy_depth: bool = False           # stereo bootstrap dummy depth enable
     dummy_depth_range: tuple = (0.3, 0.7)
     innovation_gate: float = 0.3        # relative depth-jump rejection

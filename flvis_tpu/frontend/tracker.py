@@ -38,7 +38,7 @@ import jax.numpy as jnp
 
 from ..backend import motion_ba
 from ..config import FrontendConfig
-from ..geometry import camera as cam_m, se3 as se3m, so3
+from ..geometry import camera as cam_m, se3 as se3m, so3, triangulation
 from ..geometry.camera import StereoCamera
 from ..geometry.se3 import SE3
 from ..ops import features as feat_ops
@@ -160,7 +160,31 @@ def _measure_depth(cfg: FrontendConfig, cam: StereoCamera, pyr0, pyr1, d_img,
                                 table.active, stereo_params)
     z = cam.fx * cam.baseline / jnp.maximum(disp, 1e-3)
     ok = ok & (z > cfg.depth_min) & (z < cfg.depth_max)
-    return z, ok
+
+    # Third source: motion triangulation from the first observation, for
+    # slots stereo could not measure, once the translational baseline since
+    # first sight exceeds the gate (recover3DPts_c_FromTriangulation,
+    # camera_frame.cpp:236-270; baseline ≥ 0.2 m at line 244).
+    T0 = table.obs0_pose()
+    C0 = -so3.rotate(so3.conj(T0.q), T0.t)
+    C1 = -so3.rotate(so3.conj(T_c_w.q), T_c_w.t)
+    base = jnp.linalg.norm(C1[None, :] - C0, axis=-1)
+    xn0 = cam_m.unit_ray(cam, table.obs0_uv)[:, :2]
+    xn1 = cam_m.unit_ray(cam, table.uv)[:, :2]
+    # First argument = CURRENT pose so the returned points are in the
+    # current camera frame (triangulate_from_views returns pts_c of its
+    # first view).
+    pts_c1, tri_valid = triangulation.triangulate_from_views(
+        SE3(jnp.broadcast_to(T_c_w.q, T0.q.shape),
+            jnp.broadcast_to(T_c_w.t, T0.t.shape)), T0,
+        xn1[:, None, :], xn0[:, None, :],
+        range_max=cfg.depth_max, range_min=cfg.depth_min,
+    )
+    z_tri = pts_c1[:, 0, 2]
+    tri_ok = (tri_valid[:, 0] & table.active & (base >= cfg.tri_min_baseline)
+              & ~ok)
+    z = jnp.where(tri_ok, z_tri, z)
+    return z, ok | tri_ok
 
 
 def _depth_innovation(cfg: FrontendConfig, cam: StereoCamera, table: lt.LandmarkTable,

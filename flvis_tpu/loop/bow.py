@@ -69,6 +69,17 @@ def train(descriptors_packed, valid, num_words: int = 1024, iters: int = 8, seed
     return Vocabulary(centroids, idf)
 
 
+def save(path: str, vocab: Vocabulary) -> None:
+    """Persist a vocabulary (.npz) — the voc_orb.dbow3 file equivalent."""
+    np.savez_compressed(path, words_pm1=np.asarray(vocab.words_pm1),
+                        idf=np.asarray(vocab.idf))
+
+
+def load(path: str) -> Vocabulary:
+    data = np.load(path)
+    return Vocabulary(jnp.asarray(data["words_pm1"]), jnp.asarray(data["idf"]))
+
+
 @jax.jit
 def transform(vocab: Vocabulary, descriptors_packed, valid):
     """Descriptors → normalized tf-idf BoW vector (V,).

@@ -159,3 +159,42 @@ class TestDepthMode:
         assert int(out.status) == tracker.STATUS_TRACKING
         ate = np.sqrt(np.mean(np.square(errs)))
         assert ate < 0.02, f"RGB-D ATE {ate:.4f} m"
+
+
+class TestTriangulationDepth:
+    def test_measure_depth_falls_back_to_triangulation(self):
+        """With a blank right image (stereo fails), _measure_depth must
+        recover depth by motion triangulation from the first-observation
+        records once the baseline gate passes — the reference's
+        recover3DPts_c_FromTriangulation path."""
+        import dataclasses as dc
+
+        from flvis_tpu.frontend import landmark_table as lt_mod
+        from flvis_tpu.ops import image as imops
+
+        scfg = SceneConfig()
+        cfg = small_cfg(tri_min_baseline=0.15)
+        cam = camera.make(scfg.fx, scfg.fy, scfg.cx, scfg.cy, scfg.baseline,
+                          width=scfg.width, height=scfg.height)
+        rng = np.random.default_rng(0)
+        n = 32
+        pts_w = rng.uniform([-2, -2, 6], [2, 2, 10], (n, 3)).astype(np.float32)
+        T0 = se3.identity()
+        T1 = se3.SE3(so3.identity(), jnp.asarray([-0.3, 0.0, 0.0]))  # 0.3 m baseline
+        uv0 = camera.project(cam, se3.transform_points(T0, jnp.asarray(pts_w)))
+        uv1 = camera.project(cam, se3.transform_points(T1, jnp.asarray(pts_w)))
+
+        table = lt_mod.empty(n)
+        table = dc.replace(
+            table,
+            uv=uv1, active=jnp.ones(n, bool),
+            obs0_uv=uv0,
+            obs0_q=jnp.broadcast_to(T0.q, (n, 4)),
+            obs0_t=jnp.broadcast_to(T0.t, (n, 3)),
+        )
+        blank = imops.build_grad_pyramid(jnp.zeros((scfg.height, scfg.width)), 3)
+        z, ok = tracker._measure_depth(cfg, cam, blank, blank, None, table, T1)
+        okn = np.asarray(ok)
+        assert okn.sum() > 25, okn.sum()
+        z_true = np.asarray(se3.transform_points(T1, jnp.asarray(pts_w)))[:, 2]
+        np.testing.assert_allclose(np.asarray(z)[okn], z_true[okn], rtol=0.02)
