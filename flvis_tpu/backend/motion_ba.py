@@ -137,7 +137,16 @@ def optimize_pose(cam: StereoCamera, T_init: SE3, pts_w, uv_obs, valid,
 
     r, _, behind = _residuals_jacobians(cam, T1, pts_w, uv_obs)
     chi2 = jnp.sum(r * r, axis=-1)
-    keep = valid & ~behind & (chi2 < chi2_cull)
+    # Adaptive cull: the absolute chi² gate (≈3 px) misses landmarks whose
+    # stale/wrong depths induce sub-pixel-but-systematic residuals, and in a
+    # near-uniform-depth scene those few points drag the quadratic cost
+    # toward a depth-independent rotation-only pose.  Cut at 9× the median
+    # chi² (≡ 3× the median residual), floored so clean tight fits don't
+    # self-cannibalise, capped by the absolute gate.
+    med = jnp.nanmedian(jnp.where(valid & ~behind, chi2, jnp.nan))
+    adaptive = jnp.minimum(jnp.maximum(9.0 * jnp.nan_to_num(med, nan=chi2_cull),
+                                       0.25), chi2_cull)
+    keep = valid & ~behind & (chi2 < adaptive)
 
     T2, cost = _lm_iterations(cam, T1, pts_w, uv_obs, keep, iters2, huber_delta, 1e-4)
 

@@ -316,14 +316,41 @@ def _track_branch(cfg: FrontendConfig, cam: StereoCamera, state: TrackerState,
         threshold=cfg.ransac_threshold, num_hypotheses=cfg.ransac_hypotheses,
     )
 
-    # --- STEP3: motion-only BA (robust LM from the prior) -------------------
+    # --- STEP3: motion-only BA (robust LM, two starts) ----------------------
+    # Near-uniform-depth scenes have a shallow rotation/translation valley;
+    # LM from a static prior occasionally settles in a rotation-dominated
+    # local minimum whose residual is 3x the true pose's.  A second start
+    # that explains the median flow as PURE TRANSLATION brackets the valley
+    # from the other side; the lower-residual solution wins.
     ba_mask = table.active & lk_ok & f_inl & table.has_3d
-    ba = motion_ba.optimize_pose(
-        cam, T_prior, table.p_w, uv_new, ba_mask,
-        iters1=cfg.ba_iters1, iters2=cfg.ba_iters2,
-        huber_delta=cfg.huber_delta, chi2_cull=cfg.chi2_cull,
-        min_points=cfg.min_inliers,
-    )
+    flow = uv_new - table.uv
+    wm = ba_mask.astype(flow.dtype)
+    p_c_prior = se3m.transform_points(T_prior, table.p_w)
+    z_med = jnp.nan_to_num(
+        jnp.nanmedian(jnp.where(ba_mask, p_c_prior[:, 2], jnp.nan)), nan=4.0)
+    fl_med = jnp.nanmedian(jnp.where(ba_mask[:, None], flow, jnp.nan), axis=0)
+    fl_med = jnp.nan_to_num(fl_med)
+    t_hyp = jnp.asarray([-1.0, 0.0, 0.0]) * fl_med[0] * z_med / cam.fx +         jnp.asarray([0.0, -1.0, 0.0]) * fl_med[1] * z_med / cam.fy
+    T_prior_b = se3m.compose(SE3(so3.identity(), t_hyp), T_prior)
+
+    def run_ba(T0):
+        return motion_ba.optimize_pose(
+            cam, T0, table.p_w, uv_new, ba_mask,
+            iters1=cfg.ba_iters1, iters2=cfg.ba_iters2,
+            huber_delta=cfg.huber_delta, chi2_cull=cfg.chi2_cull,
+            min_points=cfg.min_inliers,
+        )
+
+    ba_a = run_ba(T_prior)
+    ba_b = run_ba(T_prior_b)
+
+    def mean_err(T):
+        r = cam_m.project_world(cam, T, table.p_w) - uv_new
+        rn = jnp.linalg.norm(r, axis=-1)
+        return jnp.sum(jnp.where(ba_mask, jnp.minimum(rn, 5.0), 0.0)) /             jnp.maximum(jnp.sum(ba_mask), 1)
+
+    use_b = mean_err(ba_b.T_c_w) < mean_err(ba_a.T_c_w)
+    ba = jax.tree.map(lambda a, b: jnp.where(use_b, b, a), ba_a, ba_b)
     T_new = ba.T_c_w
 
     # --- STEP4: median+MAD reprojection gate --------------------------------

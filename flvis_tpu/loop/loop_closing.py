@@ -53,7 +53,12 @@ class LoopCloser:
         self.cam = cam
         self.vocab = vocab
         K, F, V = cfg.max_keyframes, cfg.num_orb_features, cfg.vocab_words
-        self.bow_db = np.zeros((K, V), np.float32)
+        # BoW database lives ON DEVICE: similarity against the whole database
+        # is a single device matvec with no host round-trip of the (K, V)
+        # matrix (the reference's O(N) per-KF scoring loop,
+        # vo_loopclosing.cpp:421-436, shipped each score over a function
+        # call; shipping 2048x4096 floats per query would be worse).
+        self.bow_db = jnp.zeros((K, V), jnp.float32)
         self.kf_uv = np.zeros((K, F, 2), np.float32)
         self.kf_desc = np.zeros((K, F, 8), np.uint32)
         self.kf_kp_valid = np.zeros((K, F), bool)
@@ -105,7 +110,7 @@ class LoopCloser:
         if self.vocab is None and k + 1 >= 8:
             self._train_vocab()
         if self.vocab is not None:
-            self.bow_db[k] = np.asarray(bow.transform(self.vocab, desc, kp_valid))
+            self.bow_db = self.bow_db.at[k].set(bow.transform(self.vocab, desc, kp_valid))
         self.count += 1
         return k
 
@@ -122,7 +127,7 @@ class LoopCloser:
         )
         # Back-fill BoW vectors for earlier keyframes.
         for i in range(self.count):
-            self.bow_db[i] = np.asarray(
+            self.bow_db = self.bow_db.at[i].set(
                 bow.transform(self.vocab, jnp.asarray(self.kf_desc[i]),
                               jnp.asarray(self.kf_kp_valid[i]))
             )
@@ -133,12 +138,10 @@ class LoopCloser:
         cfg = self.cfg
         if self.vocab is None or k < cfg.kf_start:
             return None
+        valid_rows = jnp.arange(self.bow_db.shape[0]) < self.count
         sims = np.asarray(
-            bow.score_database(
-                jnp.asarray(self.bow_db[k]), jnp.asarray(self.bow_db[: self.count]),
-                jnp.ones(self.count, bool),
-            )
-        )
+            bow.score_database(self.bow_db[k], self.bow_db, valid_rows)
+        )[: self.count]
         # Temporal gate (lcKFDist) and window cap (lcKFMaxDist).
         lo = max(0, k - cfg.kf_max_dist)
         hi = k - cfg.kf_dist
