@@ -104,6 +104,29 @@ def main():
     jax.block_until_ready(res.state)
     ba_ms = 1000.0 * (time.perf_counter() - t0) / n_ba
 
+    # --- batched multi-sequence throughput (16 sequences, one chip) ---------
+    from flvis_tpu.parallel import multiseq
+
+    S = 16
+    cams = jax.tree.map(
+        lambda a: jnp.broadcast_to(jnp.asarray(a), (S,) + jnp.shape(jnp.asarray(a))),
+        cam)
+    mstates = multiseq.init_states(cfg, S)
+    # Distinct per-sequence images (a broadcast view would let XLA share HBM
+    # reads across the batch and overstate throughput).
+    i0 = jnp.stack([jnp.roll(imgs[0][0], 7 * s, axis=1) for s in range(S)])
+    i1 = jnp.stack([jnp.roll(imgs[0][1], 7 * s, axis=1) for s in range(S)])
+    keys = jax.random.split(jax.random.PRNGKey(0), S)
+    for _ in range(3):
+        mstates, _ = multiseq.track_frame_batch(cfg, cams, mstates, i0, i1, keys)
+    jax.block_until_ready(mstates)
+    n_b = 30
+    t0 = time.perf_counter()
+    for _ in range(n_b):
+        mstates, _ = multiseq.track_frame_batch(cfg, cams, mstates, i0, i1, keys)
+    jax.block_until_ready(mstates)
+    agg_fps = n_b * S / (time.perf_counter() - t0)
+
     baseline = 30.0
     result = {
         "metric": "frontend_frames_per_s",
@@ -115,6 +138,7 @@ def main():
         "device": str(dev),
         "ms_per_frame": round(1000.0 * elapsed / n_iters, 3),
         "window_ba_ms_per_keyframe": round(ba_ms, 3),
+        "multiseq16_frames_per_s": round(agg_fps, 1),
     }
     print(json.dumps(result))
 

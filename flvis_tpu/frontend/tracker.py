@@ -435,7 +435,14 @@ def track_frame(cfg: FrontendConfig, cam: StereoCamera, state: TrackerState,
     if rng_key is None:
         rng_key = jax.random.fold_in(jax.random.PRNGKey(7), state.frame_id)
 
-    img0 = imops.equalize_hist(img0) if cfg.equalize else img0
+    if cfg.equalize:
+        # Both stereo images must be equalized identically or the left→right
+        # LK loses brightness constancy (the reference equalizes the full
+        # frame pair, f2f_tracking.cpp:127-148).  Depth images are never
+        # intensity data and are left untouched.
+        img0 = imops.equalize_hist(img0)
+        if not cfg.depth_mode:
+            img1 = imops.equalize_hist(img1)
     # Gradient pyramids are built once per image and reused by the temporal
     # LK (prev frame's, cached in state), the stereo forward pass and the
     # stereo backward check.  In depth mode img1 is the raw depth image and

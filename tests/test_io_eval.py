@@ -194,3 +194,29 @@ class TestNativeLoader:
         assert len(native) == len(cv_) == 3
         for a, b in zip(native, cv_):
             np.testing.assert_allclose(a, b)
+
+
+class TestYamlConfig:
+    def test_load_reference_style_yaml(self, tmp_path):
+        import yaml as pyyaml
+
+        from flvis_tpu.config import load_yaml
+
+        y = {
+            "type_of_vi": 1, "image_width": 752, "image_height": 480,
+            "feature_para1": 12, "feature_para3": 18.0, "feature_para5": 0.02,
+            "vifusion_para1": 0.08, "vifusion_para2": 0.1,
+            "dr_para1": 0.25, "dr_para2": 50.0, "dr_para3": 0,
+            "window_size": 250,  # clamped to 100 like the reference
+            "lcKFStart": 30, "lcKFDist": 40, "ratioMax": 0.8, "minPts": 20,
+        }
+        p = tmp_path / "cfg.yaml"
+        with open(p, "w") as f:
+            pyyaml.dump(y, f)
+        cfg = load_yaml(str(p))
+        assert cfg.vi_type == 1
+        assert cfg.frontend.width == 752 and cfg.frontend.per_cell == 12
+        assert abs(cfg.frontend.iir_ratio - 0.25) < 1e-9
+        assert abs(cfg.vio.madgwick_beta - 0.08) < 1e-9
+        assert cfg.backend.window_size == 100  # clamp
+        assert cfg.loop.kf_start == 30 and cfg.loop.min_pts == 20

@@ -220,3 +220,32 @@ class TestRansac:
         valid = jnp.asarray([True, False, True, True])
         keep, _ = ransac.mad_gate(res, valid)
         assert not bool(keep[1])
+
+
+class TestEqualize:
+    def test_tracker_equalize_toggle(self, tex):
+        """cfg.equalize routes frames through histogram equalization without
+        breaking tracking (the reference's blur-gate path)."""
+        import numpy as np
+        from flvis_tpu.config import FrontendConfig
+        from flvis_tpu.frontend import tracker
+        from flvis_tpu.geometry import camera
+        from flvis_tpu.io.synthetic import PlanarScene, SceneConfig, orbit_trajectory
+
+        scfg = SceneConfig()
+        scene = PlanarScene(scfg, plane_depth=8.0, seed=9)
+        cfg = FrontendConfig(width=scfg.width, height=scfg.height, num_slots=64,
+                             pyramid_levels=3, per_cell=4, min_distance=12.0,
+                             margin=22, equalize=True)
+        cam = camera.make(scfg.fx, scfg.fy, scfg.cx, scfg.cy, scfg.baseline,
+                          width=scfg.width, height=scfg.height)
+        state = tracker.init_state(cfg)
+        for (R, t) in orbit_trajectory(4, step=0.03):
+            # Low-contrast input: scale intensities into [100, 130].
+            img_l, img_r, _ = scene.render(R, t)
+            squash = lambda im: (im / 255.0 * 30 + 100).astype(np.float32)
+            state, out = tracker.track_frame(cfg, cam, state,
+                                             jnp.asarray(squash(img_l)),
+                                             jnp.asarray(squash(img_r)))
+        assert int(out.status) == tracker.STATUS_TRACKING
+        assert int(out.num_inliers) > 20
