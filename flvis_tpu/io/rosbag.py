@@ -230,10 +230,12 @@ class D435iFrame:
 
 def d435i_frames(path: str, img0_topic: str, img1_topic: str,
                  imu_topic: str = "/camera/imu",
-                 remap_imu_to_enu: bool = True) -> Iterator[D435iFrame]:
+                 remap_imu_to_enu: bool = True,
+                 skip_first: int = 0) -> Iterator[D435iFrame]:
     """Pair synchronized image topics + group IMU per frame, with the D435i
     body-axis → ENU remap the reference applies in its IMU callback
     (vo_tracking.cpp:331-357: for D435i, acc/gyro (x,y,z) → (z, -x, -y))."""
+    skipped = 0
     pending0: dict[int, ImageMsg] = {}
     pending1: dict[int, ImageMsg] = {}
     imu_buf: list[ImuMsg] = []
@@ -252,6 +254,12 @@ def d435i_frames(path: str, img0_topic: str, img1_topic: str,
         if k in other:
             m_other = other.pop(k)
             m0, m1 = (msg, m_other) if topic == img0_topic else (m_other, msg)
+            if skipped < skip_first:
+                # Warmup decimation (the reference's skip_first_n_imgs,
+                # f2f_tracking.cpp:120-140); IMU keeps flowing.
+                skipped += 1
+                last_emit_t = m0.t
+                continue
             sel = [m for m in imu_buf if last_emit_t < m.t <= m0.t]
             imu_buf = [m for m in imu_buf if m.t > m0.t]
             acc = np.asarray([m.acc for m in sel], np.float32).reshape(-1, 3)
