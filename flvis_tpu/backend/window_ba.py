@@ -164,10 +164,6 @@ def add_keyframe(cfg: BackendConfig, state: WindowState, kf: KeyframePacket) -> 
 
     tgt = jnp.where(has_match, match_slot, jnp.where(can_alloc, alloc_slot, L))  # L = dump
 
-    def scatter(dst, src, fill=None):
-        pad = jnp.zeros((1,) + dst.shape[1:], dst.dtype)
-        return jnp.concatenate([dst, pad], 0).at[tgt].set(src)[:-1]
-
     use = kf.lm_mask & (has_match | can_alloc)
     # New slots get the packet's world position; existing keep the window's
     # current estimate (the backend owns refined positions).
@@ -314,7 +310,9 @@ def _schur_step(cam, poses: SE3, lm_pw, obs, w_mask, fixed_pose, lam, delta,
     dp = jnp.linalg.solve(S, rhs.reshape(-1)).reshape(W, 6)
 
     # Back-substitute landmarks.
-    dl = jnp.einsum("lkm,lm->lk", Hll_inv, bl - jnp.einsum("wlkm,wk->lm", Hpl, dp))
+    dl = jnp.einsum("lkm,lm->lk", Hll_inv,
+                    bl - jnp.einsum("wlkm,wk->lm", Hpl, dp, precision="highest"),
+                    precision="highest")
 
     new_poses = se3m.retract_left(poses, dp)
     return new_poses, lm_pw + dl

@@ -137,7 +137,7 @@ def _measure_depth(cfg: FrontendConfig, cam: StereoCamera, pyr0, pyr1, d_img,
     if cfg.depth_mode:
         z = imops.bilinear_sample(d_img, table.uv) / cam.depth_factor
         ok = table.active & (z > cfg.depth_min) & (z < cfg.depth_max)
-        return z, ok
+        return z, ok, ok
 
     p_c = se3m.transform_points(T_c_w, table.p_w)
     # Disparity prior: own depth where known, else the median depth of the
@@ -160,6 +160,7 @@ def _measure_depth(cfg: FrontendConfig, cam: StereoCamera, pyr0, pyr1, d_img,
                                 table.active, stereo_params)
     z = cam.fx * cam.baseline / jnp.maximum(disp, 1e-3)
     ok = ok & (z > cfg.depth_min) & (z < cfg.depth_max)
+    stereo_ok = ok
 
     # Third source: motion triangulation from the first observation, for
     # slots stereo could not measure, once the translational baseline since
@@ -184,11 +185,14 @@ def _measure_depth(cfg: FrontendConfig, cam: StereoCamera, pyr0, pyr1, d_img,
     tri_ok = (tri_valid[:, 0] & table.active & (base >= cfg.tri_min_baseline)
               & ~ok)
     z = jnp.where(tri_ok, z_tri, z)
-    return z, ok | tri_ok
+    # stereo_ok separately: triangulated depths derive their scale from the
+    # odometry itself and must NOT feed the scale-anchoring u_r residuals.
+    return z, ok | tri_ok, stereo_ok
 
 
 def _depth_innovation(cfg: FrontendConfig, cam: StereoCamera, table: lt.LandmarkTable,
-                      T_c_w: SE3, z_meas, meas_ok, key, bootstrap: bool = False):
+                      T_c_w: SE3, z_meas, meas_ok, stereo_ok, key,
+                      bootstrap: bool = False):
     """IIR depth fusion — the system's signature depth-innovation scheme
     (CameraFrame::depthInnovation, camera_frame.cpp:271-330).
 
@@ -237,19 +241,24 @@ def _depth_innovation(cfg: FrontendConfig, cam: StereoCamera, table: lt.Landmark
         lo, hi = cfg.dummy_depth_range
         z_dummy = jax.random.uniform(key, z_meas.shape, z_meas.dtype, lo, hi)
         z_fused = jnp.where(~table.has_3d & ~meas_ok, z_dummy, z_fused)
+        adopt = adopt | (~table.has_3d & ~meas_ok)  # dummy counts as adoption
         new_has = table.active & ~evict
     else:
         new_has = table.active & (table.has_3d | adopt) & ~evict
 
     p_c_new = cam_m.backproject(cam, table.uv, z_fused)
     p_w_new = cam_m.cam_to_world(T_c_w, p_c_new)
-    p_w = jnp.where(new_has[:, None], p_w_new, table.p_w)
+    # Only measurement-backed slots are re-anchored onto the current ray;
+    # rewriting unmeasured landmarks would absorb LK/pose drift into the
+    # map (the reference leaves lm_3d_w untouched without a measurement).
+    rewrite = (accept | adopt) & new_has
+    p_w = jnp.where(rewrite[:, None], p_w_new, table.p_w)
     # Record the stereo right-image coordinate implied by the *measured*
     # depth (u_r = u − fx·b/z).  Exported with keyframes so the window BA
     # gets scale-fixing stereo residuals (ORB-SLAM2-style; the reference's
     # monocular-only g2o edges leave scale to drift between depth updates).
     ur = table.uv[:, 0] - cam.fx * cam.baseline / jnp.maximum(z_meas, 1e-3)
-    ur_ok = meas_ok & table.active & (cam.baseline > 0)
+    ur_ok = stereo_ok & table.active & (cam.baseline > 0)
     return dataclasses.replace(
         table, p_w=p_w, has_3d=new_has,
         ur=jnp.where(ur_ok, ur, table.ur), ur_ok=ur_ok,
@@ -271,8 +280,9 @@ def _init_branch(cfg: FrontendConfig, cam: StereoCamera, state: TrackerState,
     (f2f_tracking.cpp:402-453 init_frame; recovery at 357-394)."""
     table = lt.empty(cfg.num_slots, state.table.uv.dtype)
     table, next_id = _redetect(cfg, pyr0[0][0], table, T_init, state.next_lm_id)
-    z, ok = _measure_depth(cfg, cam, pyr0, pyr1, d_img, table, T_init)
-    table = _depth_innovation(cfg, cam, table, T_init, z, ok, key, bootstrap=True)
+    z, ok, st_ok = _measure_depth(cfg, cam, pyr0, pyr1, d_img, table, T_init)
+    table = _depth_innovation(cfg, cam, table, T_init, z, ok, st_ok, key,
+                              bootstrap=True)
     new_state = dataclasses.replace(
         state,
         table=table, T_c_w=T_init, T_prev=T_init,
@@ -377,8 +387,8 @@ def _track_branch(cfg: FrontendConfig, cam: StereoCamera, state: TrackerState,
     table, next_id = _redetect(cfg, pyr0[0][0], table, T_new, state.next_lm_id)
 
     # --- STEP6: depth innovation --------------------------------------------
-    z, z_ok = _measure_depth(cfg, cam, pyr0, pyr1, d_img, table, T_new)
-    table = _depth_innovation(cfg, cam, table, T_new, z, z_ok, k_depth)
+    z, z_ok, st_ok = _measure_depth(cfg, cam, pyr0, pyr1, d_img, table, T_new)
+    table = _depth_innovation(cfg, cam, table, T_new, z, z_ok, st_ok, k_depth)
 
     # --- STEP7/8: motion model + keyframe decision --------------------------
     velocity = se3m.log(se3m.compose(T_new, se3m.inverse(state.T_prev)))

@@ -34,6 +34,16 @@ from ..ops import image as imops, lk as lk_ops, orb, pnp
 from . import bow, pose_graph
 
 
+import functools
+
+
+@functools.partial(jax.jit, donate_argnums=0)
+def _db_set_row(db, k, row):
+    """In-place device row update: donation lets XLA alias the (K, V)
+    database buffer instead of copying ~32 MB per keyframe insert."""
+    return db.at[k].set(row)
+
+
 @dataclasses.dataclass
 class LoopClosure:
     """Record of an accepted loop closure."""
@@ -48,10 +58,12 @@ class LoopCloser:
     """Keyframe database + loop detection + pose-graph correction."""
 
     def __init__(self, cfg: LoopConfig, cam: StereoCamera,
-                 vocab: Optional[bow.Vocabulary] = None):
+                 vocab: Optional[bow.Vocabulary] = None,
+                 depth_mode: bool = False):
         self.cfg = cfg
         self.cam = cam
         self.vocab = vocab
+        self.depth_mode = depth_mode
         K, F, V = cfg.max_keyframes, cfg.num_orb_features, cfg.vocab_words
         # BoW database lives ON DEVICE: similarity against the whole database
         # is a single device matvec with no host round-trip of the (K, V)
@@ -86,14 +98,20 @@ class LoopCloser:
         uv, desc, kp_valid, _ = orb.detect_and_compute(
             img_l, num_features=cfg.num_orb_features
         )
-        # Depth for ORB keypoints via rectified stereo LK (the reference's
-        # stereo depth recovery path, vo_loopclosing.cpp:262-351).
-        pyr_l = imops.build_grad_pyramid(img_l, 3)
-        pyr_r = imops.build_grad_pyramid(img_r, 3)
-        guess = jnp.full(uv.shape[0], float(self.cam.fx * self.cam.baseline) / 4.0)
-        disp, d_ok = lk_ops.stereo_lk(pyr_l, pyr_r, uv, guess, kp_valid)
-        z = self.cam.fx * self.cam.baseline / jnp.maximum(disp, 1e-3)
-        d_ok = d_ok & (z > 0.1) & (z < 100.0)
+        # Depth for ORB keypoints: rectified stereo LK (the reference's
+        # stereo recovery, vo_loopclosing.cpp:262-351) or, in RGB-D mode,
+        # a depth-image lookup (img_r is a depth image, not intensity —
+        # running stereo LK against it would fabricate garbage depths).
+        if self.depth_mode:
+            z = imops.bilinear_sample(img_r, uv) / self.cam.depth_factor
+            d_ok = (z > 0.1) & (z < 100.0)
+        else:
+            pyr_l = imops.build_grad_pyramid(img_l, 3)
+            pyr_r = imops.build_grad_pyramid(img_r, 3)
+            guess = jnp.full(uv.shape[0], float(self.cam.fx * self.cam.baseline) / 4.0)
+            disp, d_ok = lk_ops.stereo_lk(pyr_l, pyr_r, uv, guess, kp_valid)
+            z = self.cam.fx * self.cam.baseline / jnp.maximum(disp, 1e-3)
+            d_ok = d_ok & (z > 0.1) & (z < 100.0)
         p_c = cam_m.backproject(self.cam, uv, z)
 
         self.kf_uv[k] = np.asarray(uv)
@@ -110,7 +128,8 @@ class LoopCloser:
         if self.vocab is None and k + 1 >= 8:
             self._train_vocab()
         if self.vocab is not None:
-            self.bow_db = self.bow_db.at[k].set(bow.transform(self.vocab, desc, kp_valid))
+            self.bow_db = _db_set_row(self.bow_db, k,
+                                      bow.transform(self.vocab, desc, kp_valid))
         self.count += 1
         return k
 
@@ -127,9 +146,10 @@ class LoopCloser:
         )
         # Back-fill BoW vectors for earlier keyframes.
         for i in range(self.count):
-            self.bow_db = self.bow_db.at[i].set(
+            self.bow_db = _db_set_row(
+                self.bow_db, i,
                 bow.transform(self.vocab, jnp.asarray(self.kf_desc[i]),
-                              jnp.asarray(self.kf_kp_valid[i]))
+                              jnp.asarray(self.kf_kp_valid[i])),
             )
 
     # --------------------------------------------------------------- search
@@ -215,13 +235,17 @@ class LoopCloser:
         n = self.count
         if not self.closures or n < 2:
             return
-        max_edges = cfg.seq_edge_successors * n + len(self.closures) + 8
-        g = pose_graph.empty(n, max_edges)
+        # Pad node/edge counts to power-of-2 buckets: pose_graph.optimize is
+        # jitted per shape, and each XLA compile is expensive (remote-compile
+        # tunnel) — bucketing bounds recompiles at O(log n) over a run.
+        n_pad = max(32, 1 << (n - 1).bit_length())
+        max_edges = cfg.seq_edge_successors * n_pad + 64
+        g = pose_graph.empty(n_pad, max_edges)
         g = dataclasses.replace(
             g,
-            node_q=jnp.stack([T.q for T in self.kf_T_wc[:n]]),
-            node_t=jnp.stack([T.t for T in self.kf_T_wc[:n]]),
-            node_valid=jnp.ones(n, bool),
+            node_q=g.node_q.at[:n].set(jnp.stack([T.q for T in self.kf_T_wc[:n]])),
+            node_t=g.node_t.at[:n].set(jnp.stack([T.t for T in self.kf_T_wc[:n]])),
+            node_valid=jnp.arange(n_pad) < n,
         )
         ei, ej, eq, et, ev, ew = [], [], [], [], [], []
         for a in range(n):
@@ -249,7 +273,7 @@ class LoopCloser:
             edge_valid=jnp.asarray(ev + [False] * pad),
             edge_weight=jnp.asarray(ew + [1.0] * pad, jnp.float32),
         )
-        fixed = jnp.zeros(n, bool).at[0].set(True)
+        fixed = jnp.zeros(n_pad, bool).at[0].set(True)
         g2, _ = pose_graph.optimize(g, fixed, iters=min(cfg.pgo_iters, 30))
         for idx in range(n):
             self.kf_T_wc[idx] = SE3(g2.node_q[idx], g2.node_t[idx])

@@ -118,8 +118,8 @@ def optimize(graph: PoseGraph, fixed_mask, iters: int = 20, cauchy_c: float = 1.
         H = H.at[jj, jj].add(jnp.einsum("eki,ekj->eij", JjW, Jj, precision="highest"))
         H = H.at[ii, jj].add(jnp.einsum("eki,ekj->eij", JiW, Jj, precision="highest"))
         H = H.at[jj, ii].add(jnp.einsum("eki,ekj->eij", JjW, Ji, precision="highest"))
-        b = b.at[ii].add(-jnp.einsum("eki,ek->ei", JiW, r))
-        b = b.at[jj].add(-jnp.einsum("eki,ek->ei", JjW, r))
+        b = b.at[ii].add(-jnp.einsum("eki,ek->ei", JiW, r, precision="highest"))
+        b = b.at[jj].add(-jnp.einsum("eki,ek->ei", JjW, r, precision="highest"))
 
         Hd = H.transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
         fix = jnp.repeat(fixed_mask | ~graph.node_valid, 6)

@@ -53,7 +53,8 @@ class SlamSystem:
         if use_loop:
             from ..loop.loop_closing import LoopCloser
 
-            self.loop_closer = LoopCloser(cfg.loop, cam)
+            self.loop_closer = LoopCloser(cfg.loop, cam,
+                                          depth_mode=cfg.frontend.depth_mode)
 
     # ------------------------------------------------------------------ IMU
     def feed_imu(self, acc, gyro, t):

@@ -193,7 +193,8 @@ class TestTriangulationDepth:
             obs0_t=jnp.broadcast_to(T0.t, (n, 3)),
         )
         blank = imops.build_grad_pyramid(jnp.zeros((scfg.height, scfg.width)), 3)
-        z, ok = tracker._measure_depth(cfg, cam, blank, blank, None, table, T1)
+        z, ok, st_ok = tracker._measure_depth(cfg, cam, blank, blank, None, table, T1)
+        assert not bool(jnp.any(st_ok))  # triangulated depth is never a stereo anchor
         okn = np.asarray(ok)
         assert okn.sum() > 25, okn.sum()
         z_true = np.asarray(se3.transform_points(T1, jnp.asarray(pts_w)))[:, 2]
