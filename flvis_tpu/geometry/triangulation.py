@@ -54,7 +54,7 @@ def triangulate_dlt(T0: SE3, T1: SE3, xn0, xn1):
     a0, a1 = rows(P0, xn0)
     a2, a3 = rows(P1, xn1)
     A = jnp.stack([a0, a1, a2, a3], axis=-2)  # (..., N, 4, 4)
-    AtA = jnp.einsum("...ij,...ik->...jk", A, A)
+    AtA = jnp.einsum("...ij,...ik->...jk", A, A, precision="highest")
     w, V = jnp.linalg.eigh(AtA)
     h = V[..., :, 0]  # eigenvector of smallest eigenvalue
     w_h = h[..., 3]

@@ -122,6 +122,17 @@ class EurocDataset:
         else:
             self.gt_t = self.gt_pos = self.gt_quat_wxyz = None
 
+        # Rebase all timestamps to the sequence start: epoch-scale floats
+        # (~1.4e9 s) have a float32 resolution of 128 s, which would zero
+        # every IMU dt once timestamps reach the float32 device pipeline.
+        t0 = min(self.imu_t[0] if len(self.imu_t) else np.inf,
+                 self.frame_ts[0] if len(self.frame_ts) else np.inf)
+        self.t_origin = float(t0)
+        self.frame_ts = self.frame_ts - t0
+        self.imu_t = self.imu_t - t0
+        if self.gt_t is not None:
+            self.gt_t = self.gt_t - t0
+
     def __len__(self):
         return len(self.frame_ts)
 

@@ -236,22 +236,38 @@ def d435i_frames(path: str, img0_topic: str, img1_topic: str,
     body-axis → ENU remap the reference applies in its IMU callback
     (vo_tracking.cpp:331-357: for D435i, acc/gyro (x,y,z) → (z, -x, -y))."""
     skipped = 0
-    pending0: dict[int, ImageMsg] = {}
-    pending1: dict[int, ImageMsg] = {}
+    pending0: dict[float, ImageMsg] = {}
+    pending1: dict[float, ImageMsg] = {}
     imu_buf: list[ImuMsg] = []
     last_emit_t = -np.inf
-
-    def key(t):
-        return int(round(t * 1e4))  # 0.1 ms pairing buckets
+    t_origin = None
+    PAIR_TOL = 2e-3   # stereo/depth stamps within 2 ms pair up
+    STALE = 1.0       # unmatched frames older than 1 s are dropped
 
     for topic, msg in BagReader(path, [img0_topic, img1_topic, imu_topic]).messages():
+        # Rebase to the first message's time: epoch floats lose all
+        # sub-second resolution in float32 downstream.
+        if t_origin is None:
+            t_origin = msg.t
+        msg.t -= t_origin
         if topic == imu_topic:
             imu_buf.append(msg)
             continue
         side = pending0 if topic == img0_topic else pending1
         other = pending1 if topic == img0_topic else pending0
-        k = key(msg.t)
-        if k in other:
+        # Nearest-stamp pairing with tolerance (fixed rounding buckets drop
+        # boundary-straddling pairs), plus stale-entry pruning so dropped
+        # frames on one topic can't leak decoded images indefinitely.
+        for stale_k in [kk for kk in side if msg.t - kk > STALE]:
+            side.pop(stale_k)
+        for stale_k in [kk for kk in other if msg.t - kk > STALE]:
+            other.pop(stale_k)
+        k = None
+        if other:
+            cand = min(other, key=lambda kk: abs(kk - msg.t))
+            if abs(cand - msg.t) <= PAIR_TOL:
+                k = cand
+        if k is not None:
             m_other = other.pop(k)
             m0, m1 = (msg, m_other) if topic == img0_topic else (m_other, msg)
             if skipped < skip_first:
@@ -274,4 +290,4 @@ def d435i_frames(path: str, img0_topic: str, img1_topic: str,
             )
             last_emit_t = m0.t
         else:
-            side[k] = msg
+            side[msg.t] = msg

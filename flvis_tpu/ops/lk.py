@@ -54,7 +54,7 @@ def _track_level(img_prev, grad_x, grad_y, img_next, pts_prev, flow, valid, p: L
 
     # 2x2 structure tensor per point (constant across iterations).
     G = jnp.stack([gx.reshape(n, -1), gy.reshape(n, -1)], axis=-1)  # (N, S², 2)
-    A = jnp.einsum("nsk,nsl->nkl", G, G)
+    A = jnp.einsum("nsk,nsl->nkl", G, G, precision="highest")
     a11, a12, a22 = A[:, 0, 0], A[:, 0, 1], A[:, 1, 1]
     det = a11 * a22 - a12 * a12
     tr = a11 + a22

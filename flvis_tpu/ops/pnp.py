@@ -62,7 +62,7 @@ def _epnp_minimal(X, xn):
     # Control points: centroid + principal axes.
     c0 = jnp.mean(X, axis=1, keepdims=True)                     # (M, 1, 3)
     Xc = X - c0
-    cov = jnp.einsum("mki,mkj->mij", Xc, Xc) / K
+    cov = jnp.einsum("mki,mkj->mij", Xc, Xc, precision="highest") / K
     w_eig, V = jnp.linalg.eigh(cov)                              # ascending
     scale = jnp.sqrt(jnp.maximum(w_eig, 1e-9))[..., None, :]
     axes = V * scale                                             # (M, 3, 3) cols scaled
@@ -84,7 +84,7 @@ def _epnp_minimal(X, xn):
     A = jnp.concatenate(
         [row_u.reshape(M, K, 12), row_v.reshape(M, K, 12)], axis=1
     )  # (M, 2K, 12); unknown layout: [c0x, c0y, c0z, c1x, ..., c3z]
-    AtA = jnp.einsum("mri,mrj->mij", A, A)
+    AtA = jnp.einsum("mri,mrj->mij", A, A, precision="highest")
     _, Vv = jnp.linalg.eigh(AtA)
     vvec = Vv[..., :, 0]                                          # (M, 12)
     Cc = vvec.reshape(M, 4, 3)

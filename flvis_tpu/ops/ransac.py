@@ -56,7 +56,7 @@ def _eight_point(p0, p1):
     A = jnp.stack(
         [x1 * x0, x1 * y0, x1, y1 * x0, y1 * y0, y1, x0, y0, ones], axis=-1
     )  # (M, 8, 9)
-    AtA = jnp.einsum("mij,mik->mjk", A, A)
+    AtA = jnp.einsum("mij,mik->mjk", A, A, precision="highest")
     _, V = jnp.linalg.eigh(AtA)
     f = V[..., :, 0]
     F = f.reshape(-1, 3, 3)

@@ -42,7 +42,6 @@ def init_states(cfg: FrontendConfig, num_seqs: int, mesh: Mesh | None = None):
     one = tracker.init_state(cfg)
     batch = jax.tree.map(lambda a: jnp.broadcast_to(a, (num_seqs,) + a.shape).copy(), one)
     if mesh is not None:
-        shard = NamedSharding(mesh, P("seq"))
         batch = jax.tree.map(
             lambda a: jax.device_put(a, NamedSharding(mesh, P(*(("seq",) + (None,) * (a.ndim - 1))))),
             batch,

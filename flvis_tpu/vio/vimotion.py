@@ -107,7 +107,7 @@ def _madgwick_step(q, gyro, acc, beta, dt):
     # Proportional pull toward the accelerometer gravity direction with rate
     # constant 10·beta rad/s per rad of error (beta=0.05 → τ = 2 s), the
     # complementary-filter role of vifusion_para1 in the reference.
-    corr = so3.exp(-err * (10.0 * beta) * trust * dt)
+    corr = so3.exp(err * (10.0 * beta) * trust * dt)
     return so3.normalize(so3.mul(q_prop, corr))
 
 
@@ -216,7 +216,10 @@ def get_frame_state(state: VioState, t_img, T_i_c: SE3) -> FeedforwardPose:
     T_w_i = SE3(q_w_i, pos)
     T_w_c = se3m.compose(T_w_i, T_i_c)
     T_c_w = se3m.inverse(T_w_c)
-    ok = state.initialized & (state.count > 0) & jnp.isfinite(state.t[i])
+    # If NO buffered state lies at or before t_img, argmin over the all-inf
+    # dt returns slot 0 — an arbitrary (future or wrapped) state; flag it.
+    has_past = jnp.any((state.t >= 0) & (state.t <= t_img))
+    ok = state.initialized & (state.count > 0) & has_past
     return FeedforwardPose(T_c_w, q_w_i, pos, state.vel[i], i, ok)
 
 

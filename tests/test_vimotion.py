@@ -131,3 +131,27 @@ class TestFeedforwardFeedback:
         out = vimotion.vision_rp_compensation(qv, qi, 0.5)
         rpy = np.asarray(so3.to_euler_zyx(out))
         np.testing.assert_allclose(rpy, [0.05, 0.1, 0.7], atol=1e-5)
+
+
+class TestMadgwickConvergence:
+    def test_converges_from_wrong_attitude(self):
+        """Static IMU with true roll 0.2 rad, estimate seeded at identity:
+        the accelerometer correction must pull the estimate TOWARD the
+        measurement (a sign inversion here once made it diverge)."""
+        from flvis_tpu.vio.vimotion import _madgwick_step
+
+        q_true = so3.from_euler_zyx(jnp.asarray([0.2, 0.0, 0.0]))
+        acc_body = so3.rotate(so3.conj(q_true), jnp.asarray([0.0, 0.0, 9.81]))
+        q = so3.identity()
+        for _ in range(600):
+            q = _madgwick_step(q, jnp.zeros(3), acc_body, 0.08, 0.005)
+        roll = float(so3.to_euler_zyx(q)[0])
+        assert abs(roll - 0.2) < 0.03, roll
+
+    def test_feedforward_flags_missing_past_state(self):
+        st = vimotion.init_state(CFG)
+        acc, gyro, t = static_samples(40, t0=100.0)
+        st = vimotion.imu_feed_batch(CFG, st, acc, gyro, t)
+        # Query BEFORE every buffered sample: must not claim ok.
+        ff = vimotion.get_frame_state(st, jnp.asarray(50.0), se3.identity())
+        assert not bool(ff.ok)
