@@ -35,6 +35,8 @@ def main():
     ap.add_argument("--cx", type=float, default=320.0)
     ap.add_argument("--cy", type=float, default=240.0)
     ap.add_argument("--baseline", type=float, default=0.05)
+    ap.add_argument("--width", type=int, default=640, help="d435i frame width")
+    ap.add_argument("--height", type=int, default=480, help="d435i frame height")
     ap.add_argument("--poses", default=None, help="KITTI ground-truth poses file")
     ap.add_argument("--frames", type=int, default=None)
     ap.add_argument("--imu", action="store_true", help="enable IMU fusion (EuRoC)")
@@ -86,7 +88,7 @@ def main():
         cam = cam_m.make(args.fx, args.fy, args.cx, args.cy,
                          baseline=0.0 if args.depth else args.baseline,
                          depth_factor=1000.0,
-                         width=int(2 * args.cx), height=int(2 * args.cy))
+                         width=args.width, height=args.height)
     fe = FrontendConfig(width=cam.width, height=cam.height, num_slots=256,
                         pyramid_levels=4, per_cell=16,
                         depth_mode=(args.dataset == "d435i" and args.depth))

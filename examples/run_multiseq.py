@@ -39,6 +39,7 @@ def main():
     from flvis_tpu.geometry import camera, so3
     from flvis_tpu.io.synthetic import PlanarScene, SceneConfig, orbit_trajectory
     from flvis_tpu.parallel import multiseq
+    from flvis_tpu.utils import evaluation
 
     S = args.sequences
     n_dev = len(jax.devices())
@@ -87,15 +88,15 @@ def main():
 
     # Per-sequence final ATE vs ground truth.
     ok = True
+    C_gt = np.asarray([-R.T @ t for (R, t) in poses])
     for s in range(S):
-        errs = []
-        for i, (R, t) in enumerate(poses):
-            C_gt = -R.T @ t
+        C_est = []
+        for i in range(len(poses)):
             q = outs_log[i].T_c_w.q[s]
             tt = outs_log[i].T_c_w.t[s]
             R_e = np.asarray(so3.to_matrix(jnp.asarray(q)))
-            errs.append(np.linalg.norm(-R_e.T @ tt - C_gt))
-        ate = float(np.sqrt(np.mean(np.square(errs))))
+            C_est.append(-R_e.T @ tt)
+        ate, _ = evaluation.ate_rmse(np.asarray(C_est), C_gt, align=False)
         status = int(outs_log[-1].status[s])
         print(f"  seq {s}: ATE {ate * 100:6.2f} cm  status={status}")
         ok &= ate < 0.05 and status == 1

@@ -200,8 +200,11 @@ def load_yaml(path: str) -> SystemConfig:
             default = LoopConfig.__dataclass_fields__[dst].default
             lc[dst] = type(default)(y[src])
 
+    vi_type = int(y.get("type_of_vi", ViType.EUROC_MAV))
+    # Depth modes interpret the second image as an aligned depth map.
+    fe["depth_mode"] = vi_type in (ViType.D435I_DEPTH, ViType.D435_DEPTH_PIXHAWK)
     return SystemConfig(
-        vi_type=int(y.get("type_of_vi", ViType.EUROC_MAV)),
+        vi_type=vi_type,
         frontend=FrontendConfig(**fe, **dr),
         vio=VioConfig(**vio),
         backend=BackendConfig(**be),

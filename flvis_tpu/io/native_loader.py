@@ -112,19 +112,24 @@ class StereoPrefetcher:
         return self
 
     def __next__(self):
-        if self._emitted >= self.n:
-            raise StopIteration
-        img0 = np.empty((self.height, self.width), np.float32)
-        img1 = np.empty((self.height, self.width), np.float32)
-        ok = self._lib.flvis_prefetch_next(
-            self._handle,
-            img0.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            img1.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        )
-        self._emitted += 1
-        if not ok:
-            raise StopIteration
-        return img0, img1
+        # rc: 1 = frame, 0 = failed frame (skip, like the cv2 fallback
+        # path's `continue`), -1 = end of stream.
+        while True:
+            if self._emitted >= self.n:
+                raise StopIteration
+            img0 = np.empty((self.height, self.width), np.float32)
+            img1 = np.empty((self.height, self.width), np.float32)
+            rc = self._lib.flvis_prefetch_next(
+                self._handle,
+                img0.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                img1.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            )
+            self._emitted += 1
+            if rc == 1:
+                return img0, img1
+            if rc == -1:
+                raise StopIteration
+            # rc == 0: skip the bad frame and keep going.
 
     def close(self):
         if self._handle:

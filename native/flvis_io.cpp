@@ -15,8 +15,8 @@
 #include <condition_variable>
 #include <cstdint>
 #include <cstring>
+#include <map>
 #include <mutex>
-#include <queue>
 #include <string>
 #include <thread>
 #include <vector>
@@ -109,17 +109,21 @@ struct Prefetcher {
   std::vector<std::string> paths0, paths1;
   std::vector<float> mapx, mapy;  // shared rectification maps (may be empty)
   int width = 0, height = 0;
-  size_t next_submit = 0;
   size_t next_emit = 0;
   size_t depth = 4;
   std::mutex mu;
   std::condition_variable cv_full, cv_empty;
-  std::queue<std::pair<size_t, StereoItem>> ready;
+  // Keyed by frame index: the consumer waits for exactly `next_emit`, so the
+  // condition-variable predicate is precise and the wait actually sleeps
+  // when only out-of-order frames are ready (a FIFO queue with re-push
+  // busy-spun holding the mutex and deadlocked the producers).
+  std::map<size_t, StereoItem> ready;
   std::vector<std::thread> workers;
   std::atomic<bool> stop{false};
   std::atomic<size_t> submit_counter{0};
 
   void worker() {
+    const size_t plane = static_cast<size_t>(width) * height;
     for (;;) {
       const size_t idx = submit_counter.fetch_add(1);
       if (stop.load() || idx >= paths0.size()) return;
@@ -127,61 +131,59 @@ struct Prefetcher {
       int w0, h0, w1, h1;
       std::vector<float> raw0, raw1;
       item.ok = decode_png_gray_impl(paths0[idx].c_str(), raw0, &w0, &h0) &&
-                decode_png_gray_impl(paths1[idx].c_str(), raw1, &w1, &h1);
+                decode_png_gray_impl(paths1[idx].c_str(), raw1, &w1, &h1) &&
+                // Decoded dimensions MUST match the configured buffer size:
+                // the consumer memcpys into width*height caller buffers and
+                // the rectification maps are width*height planes.
+                w0 == width && h0 == height && w1 == width && h1 == height;
       if (item.ok) {
         item.w = w0;
         item.h = h0;
         if (!mapx.empty()) {
-          item.img0.resize(raw0.size());
-          item.img1.resize(raw1.size());
-          remap_bilinear(raw0.data(), w0, h0, mapx.data(), mapy.data(),
+          item.img0.resize(plane);
+          item.img1.resize(plane);
+          remap_bilinear(raw0.data(), width, height, mapx.data(), mapy.data(),
                          item.img0.data());
-          remap_bilinear(raw1.data(), w1, h1, mapx.data() + raw0.size(),
-                         mapy.data() + raw0.size(), item.img1.data());
+          remap_bilinear(raw1.data(), width, height, mapx.data() + plane,
+                         mapy.data() + plane, item.img1.data());
         } else {
           item.img0 = std::move(raw0);
           item.img1 = std::move(raw1);
         }
       }
       std::unique_lock<std::mutex> lk(mu);
-      cv_full.wait(lk, [&] { return ready.size() < depth * 2 || stop.load(); });
+      // Admit by INDEX window, not by queue size: a size-bounded buffer can
+      // fill with frames i+1..i+2d while the producer of frame i (the one
+      // the ordered consumer waits for) blocks for space — deadlock.  An
+      // index window always admits the next-to-emit frame.
+      cv_full.wait(lk, [&] {
+        return idx < next_emit + depth * 2 || stop.load();
+      });
       if (stop.load()) return;
       ready.emplace(idx, std::move(item));
       cv_empty.notify_all();
     }
   }
 
-  // Pop the item with index `next_emit` (workers may finish out of order, so
-  // park non-matching items back — queue sizes are tiny).
-  bool next(float* out0, float* out1) {
-    std::vector<std::pair<size_t, StereoItem>> parked;
+  // Returns 1 on success, 0 for a failed frame (decode error / size
+  // mismatch — caller may skip it), -1 at end of stream.
+  int next(float* out0, float* out1) {
     StereoItem item;
-    bool found = false;
     {
       std::unique_lock<std::mutex> lk(mu);
-      while (!found) {
-        cv_empty.wait(lk, [&] { return !ready.empty() || stop.load(); });
-        if (stop.load()) break;
-        while (!ready.empty()) {
-          auto p = std::move(ready.front());
-          ready.pop();
-          if (p.first == next_emit) {
-            item = std::move(p.second);
-            found = true;
-          } else {
-            parked.push_back(std::move(p));
-          }
-        }
-        for (auto& p : parked) ready.push(std::move(p));
-        parked.clear();
-      }
-      if (found) ++next_emit;
+      if (next_emit >= paths0.size()) return -1;
+      cv_empty.wait(lk, [&] { return ready.count(next_emit) || stop.load(); });
+      if (stop.load()) return -1;
+      auto it = ready.find(next_emit);
+      item = std::move(it->second);
+      ready.erase(it);
+      ++next_emit;
       cv_full.notify_all();
     }
-    if (!found || !item.ok) return false;
+    if (!item.ok) return 0;
     std::memcpy(out0, item.img0.data(), item.img0.size() * sizeof(float));
     std::memcpy(out1, item.img1.data(), item.img1.size() * sizeof(float));
-    return true;
+    return 1;
   }
 };
 
@@ -233,7 +235,7 @@ void* flvis_prefetch_create(const char* paths0_joined, const char* paths1_joined
 }
 
 int flvis_prefetch_next(void* handle, float* out0, float* out1) {
-  return static_cast<Prefetcher*>(handle)->next(out0, out1) ? 1 : 0;
+  return static_cast<Prefetcher*>(handle)->next(out0, out1);
 }
 
 void flvis_prefetch_destroy(void* handle) {

@@ -220,3 +220,69 @@ class TestYamlConfig:
         assert abs(cfg.vio.madgwick_beta - 0.08) < 1e-9
         assert cfg.backend.window_size == 100  # clamp
         assert cfg.loop.kf_start == 30 and cfg.loop.min_pts == 20
+
+
+class TestNativeOutOfOrder:
+    def test_many_frames_many_threads_no_deadlock(self, tmp_path, rng):
+        """Out-of-order worker completion must not deadlock the prefetcher
+        (a FIFO-with-re-push design busy-spun holding the mutex)."""
+        import cv2
+        from flvis_tpu.io import native_loader as nl
+
+        if not nl.available():
+            import pytest
+            pytest.skip("native loader not built")
+        paths = []
+        for i in range(40):
+            p = str(tmp_path / f"{i:03d}.png")
+            cv2.imwrite(p, rng.integers(0, 255, (32, 48), np.uint8))
+            paths.append(p)
+        pf = nl.StereoPrefetcher(paths, paths, 48, 32, num_threads=4)
+        frames = list(pf)
+        pf.close()
+        assert len(frames) == 40
+
+    def test_bad_frame_skipped_not_truncated(self, tmp_path, rng):
+        import cv2
+        from flvis_tpu.io import native_loader as nl
+
+        if not nl.available():
+            import pytest
+            pytest.skip("native loader not built")
+        paths = []
+        for i in range(6):
+            p = str(tmp_path / f"{i}.png")
+            cv2.imwrite(p, rng.integers(0, 255, (32, 48), np.uint8))
+            paths.append(p)
+        with open(paths[2], "wb") as f:
+            f.write(b"not a png")
+        pf = nl.StereoPrefetcher(paths, paths, 48, 32, num_threads=2)
+        frames = list(pf)
+        pf.close()
+        assert len(frames) == 5  # bad frame skipped, stream continues
+
+    def test_size_mismatch_rejected(self, tmp_path, rng):
+        import cv2
+        from flvis_tpu.io import native_loader as nl
+
+        if not nl.available():
+            import pytest
+            pytest.skip("native loader not built")
+        p = str(tmp_path / "wrong.png")
+        cv2.imwrite(p, rng.integers(0, 255, (64, 96), np.uint8))  # 96x64 file
+        pf = nl.StereoPrefetcher([p], [p], 48, 32, num_threads=1)  # configured 48x32
+        frames = list(pf)
+        pf.close()
+        assert frames == []  # rejected, no heap smash
+
+
+class TestYamlDepthMode:
+    def test_depth_mode_derived_from_vi_type(self, tmp_path):
+        import yaml as pyyaml
+        from flvis_tpu.config import load_yaml
+
+        for vi, want in [(0, True), (2, True), (1, False), (4, False)]:
+            p = tmp_path / f"c{vi}.yaml"
+            with open(p, "w") as f:
+                pyyaml.dump({"type_of_vi": vi}, f)
+            assert load_yaml(str(p)).frontend.depth_mode is want
