@@ -199,3 +199,39 @@ class TestTriangulationDepth:
         assert okn.sum() > 25, okn.sum()
         z_true = np.asarray(se3.transform_points(T1, jnp.asarray(pts_w)))[:, 2]
         np.testing.assert_allclose(np.asarray(z)[okn], z_true[okn], rtol=0.02)
+
+
+class TestRotationDominant:
+    def test_yaw_sweep_tracks_and_triggers_rotation_keyframes(self):
+        """Pure-yaw motion: rotation accuracy and the ‖log R‖ ≥ kf_min_rot
+        keyframe gate (translation stays ~0 so only rotation can trigger
+        non-bootstrap keyframes)."""
+        scfg = SceneConfig()
+        scene = PlanarScene(scfg, plane_depth=8.0, seed=12)
+        cfg = small_cfg(kf_min_rot=0.1, kf_bootstrap_frames=0)
+        cam = camera.make(scfg.fx, scfg.fy, scfg.cx, scfg.cy, scfg.baseline,
+                          width=scfg.width, height=scfg.height)
+        state = tracker.init_state(cfg)
+        n = 16
+        yaw_step = 0.02
+        kfs = 0
+        for i in range(n):
+            yaw = yaw_step * i
+            cy, sy = np.cos(yaw), np.sin(yaw)
+            R_w_c = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+            R = R_w_c.T
+            t = np.zeros(3)
+            img_l, img_r, _ = scene.render(R, t)
+            state, out = tracker.track_frame(cfg, cam, state, jnp.asarray(img_l),
+                                             jnp.asarray(img_r))
+            kfs += int(out.is_keyframe)
+            # Rotation error vs ground truth.
+            q_gt = so3.from_matrix(jnp.asarray(R, jnp.float32))
+            dq = so3.mul(so3.conj(out.T_c_w.q), q_gt)
+            r_err = float(jnp.linalg.norm(so3.log(dq)))
+            assert r_err < 0.01, (i, r_err)
+            assert float(jnp.linalg.norm(out.T_c_w.t)) < 0.05
+        assert int(out.status) == tracker.STATUS_TRACKING
+        # 0.32 rad total sweep with a 0.1 rad gate → ≥ 3 rotation keyframes
+        # (plus the init frame).
+        assert kfs >= 3, kfs
