@@ -59,7 +59,7 @@ class LoopCloser:
 
     def __init__(self, cfg: LoopConfig, cam: StereoCamera,
                  vocab: Optional[bow.Vocabulary] = None,
-                 depth_mode: bool = False):
+                 depth_mode: bool = False, mesh=None):
         self.cfg = cfg
         self.cam = cam
         self.vocab = vocab
@@ -70,7 +70,18 @@ class LoopCloser:
         # matrix (the reference's O(N) per-KF scoring loop,
         # vo_loopclosing.cpp:421-436, shipped each score over a function
         # call; shipping 2048x4096 floats per query would be worse).
+        # With a mesh, rows are additionally sharded over the `kf` axis so
+        # map-scale place recognition splits across chips (parallel.dist_loop).
+        self.mesh = mesh
         self.bow_db = jnp.zeros((K, V), jnp.float32)
+        if mesh is not None:
+            from ..parallel import dist_loop
+
+            self._dist = dist_loop
+            self.bow_db, _ = dist_loop.shard_db(
+                mesh, self.bow_db, jnp.zeros((K,), bool))
+        else:
+            self._dist = None
         self.kf_uv = np.zeros((K, F, 2), np.float32)
         self.kf_desc = np.zeros((K, F, 8), np.uint32)
         self.kf_kp_valid = np.zeros((K, F), bool)
@@ -128,10 +139,16 @@ class LoopCloser:
         if self.vocab is None and k + 1 >= 8:
             self._train_vocab()
         if self.vocab is not None:
-            self.bow_db = _db_set_row(self.bow_db, k,
-                                      bow.transform(self.vocab, desc, kp_valid))
+            self._set_db_row(k, bow.transform(self.vocab, desc, kp_valid))
         self.count += 1
         return k
+
+    def _set_db_row(self, k: int, row) -> None:
+        if self._dist is not None:
+            self.bow_db = self._dist.set_row(self.mesh, self.bow_db,
+                                             jnp.asarray(k), row)
+        else:
+            self.bow_db = _db_set_row(self.bow_db, k, row)
 
     def _train_vocab(self):
         """Train the vocabulary from keyframes seen so far (the reference
@@ -146,8 +163,8 @@ class LoopCloser:
         )
         # Back-fill BoW vectors for earlier keyframes.
         for i in range(self.count):
-            self.bow_db = _db_set_row(
-                self.bow_db, i,
+            self._set_db_row(
+                i,
                 bow.transform(self.vocab, jnp.asarray(self.kf_desc[i]),
                               jnp.asarray(self.kf_kp_valid[i])),
             )
@@ -159,9 +176,14 @@ class LoopCloser:
         if self.vocab is None or k < cfg.kf_start:
             return None
         valid_rows = jnp.arange(self.bow_db.shape[0]) < self.count
-        sims = np.asarray(
-            bow.score_database(self.bow_db[k], self.bow_db, valid_rows)
-        )[: self.count]
+        query = self.bow_db[k]
+        if self._dist is not None:
+            sims = np.asarray(self._dist.score_database_sharded(
+                self.mesh, query, self.bow_db, valid_rows))[: self.count]
+        else:
+            sims = np.asarray(
+                bow.score_database(query, self.bow_db, valid_rows)
+            )[: self.count]
         # Temporal gate (lcKFDist) and window cap (lcKFMaxDist).
         lo = max(0, k - cfg.kf_max_dist)
         hi = k - cfg.kf_dist

@@ -83,3 +83,41 @@ class TestLoopClosing:
         np.testing.assert_allclose(
             np.asarray(se3.inverse(T).t), np.asarray(lc.kf_T_wc[n - 1].t), atol=1e-5
         )
+
+
+class TestLoopCloserSharded:
+    def test_mesh_db_matches_dense_scores(self):
+        """LoopCloser with a kf-sharded BoW database produces the same
+        similarity scores as the single-device path."""
+        import jax
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs multi-device mesh")
+        from flvis_tpu.loop import bow
+        from flvis_tpu.parallel import dist_loop
+
+        scfg = SceneConfig(width=256, height=192, fx=200.0, fy=200.0,
+                           cx=128.0, cy=96.0, baseline=0.12)
+        scene = PlanarScene(scfg, plane_depth=8.0, seed=3)
+        cam = camera.make(scfg.fx, scfg.fy, scfg.cx, scfg.cy, scfg.baseline,
+                          width=scfg.width, height=scfg.height)
+        cfg = LoopConfig(max_keyframes=32, num_orb_features=128, vocab_words=64,
+                         kf_start=4, kf_dist=2, kf_max_dist=32, nkf_closest=1,
+                         min_score=0.0)
+        mesh = dist_loop.make_kf_mesh(4)
+        lc_sh = LoopCloser(cfg, cam, mesh=mesh)
+        lc = LoopCloser(cfg, cam)
+        for k in range(10):
+            R = np.eye(3)
+            t = np.asarray([0.05 * k, 0.0, 0.0], np.float32)
+            img_l, img_r, _ = scene.render(R, t)
+            T = se3.SE3(so3.identity(), jnp.asarray(t))
+            lc_sh.add_keyframe(img_l, img_r, T, frame_id=k)
+            lc.add_keyframe(img_l, img_r, T, frame_id=k)
+        assert lc.vocab is not None and lc_sh.vocab is not None
+        valid = jnp.arange(32) < 10
+        for k in (6, 9):
+            ref = np.asarray(bow.score_database(lc.bow_db[k], lc.bow_db, valid))
+            got = np.asarray(dist_loop.score_database_sharded(
+                mesh, lc_sh.bow_db[k], lc_sh.bow_db, valid))
+            np.testing.assert_allclose(got, ref, atol=1e-5)

@@ -78,3 +78,51 @@ class TestDistBA:
                                    atol=5e-4)
         np.testing.assert_allclose(np.asarray(lm_pw), np.asarray(res.state.lm_pw),
                                    atol=5e-3)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs multi-device mesh")
+class TestDistLoop:
+    def _db(self, rng, K=64, V=128):
+        db = rng.uniform(0, 1, (K, V)).astype(np.float32)
+        db /= np.abs(db).sum(axis=1, keepdims=True)
+        return jnp.asarray(db)
+
+    def test_sharded_scores_match_dense(self, rng):
+        from flvis_tpu.loop import bow
+        from flvis_tpu.parallel import dist_loop
+
+        mesh = dist_loop.make_kf_mesh(4)
+        db = self._db(rng)
+        valid = jnp.asarray(np.arange(64) < 40)
+        db_sh, valid_sh = dist_loop.shard_db(mesh, db, valid)
+        q = db[7]
+        ref = np.asarray(bow.score_database(q, db, valid))
+        got = np.asarray(dist_loop.score_database_sharded(mesh, q, db_sh, valid_sh))
+        np.testing.assert_allclose(got, ref, atol=1e-6)
+
+    def test_best_candidate_reduction(self, rng):
+        from flvis_tpu.parallel import dist_loop
+
+        mesh = dist_loop.make_kf_mesh(4)
+        db = self._db(rng)
+        valid = jnp.ones(64, bool)
+        # Eligibility window [0, 30) — the temporal gate.
+        cand = jnp.asarray(np.arange(64) < 30)
+        db_sh, valid_sh = dist_loop.shard_db(mesh, db, valid)
+        q = db[37]
+        v, i = dist_loop.best_candidate_sharded(mesh, q, db_sh, valid_sh, cand)
+        s = 1.0 - 0.5 * np.abs(np.asarray(db) - np.asarray(q)).sum(axis=1)
+        s[30:] = -np.inf
+        assert int(i) == int(np.argmax(s))
+        np.testing.assert_allclose(float(v), float(s[int(np.argmax(s))]), atol=1e-6)
+
+    def test_set_row_preserves_sharding(self, rng):
+        from flvis_tpu.parallel import dist_loop
+
+        mesh = dist_loop.make_kf_mesh(4)
+        db = jnp.zeros((64, 128), jnp.float32)
+        db_sh, _ = dist_loop.shard_db(mesh, db, jnp.zeros(64, bool))
+        row = jnp.asarray(rng.uniform(0, 1, 128).astype(np.float32))
+        db_sh = dist_loop.set_row(mesh, db_sh, jnp.asarray(5), row)
+        np.testing.assert_allclose(np.asarray(db_sh[5]), np.asarray(row), atol=0)
+        assert np.asarray(db_sh[6]).sum() == 0
