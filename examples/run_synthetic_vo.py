@@ -25,6 +25,9 @@ def main():
                     help="run the full pipeline with sliding-window BA feedback")
     ap.add_argument("--loop", action="store_true",
                     help="out-and-back trajectory with loop closing + PGO")
+    ap.add_argument("--viz-dir", default=None,
+                    help="write per-frame debug overlay PNGs, frame-marker "
+                         "PLYs and (with --backend) a sparse-map PLY here")
     args = ap.parse_args()
 
     import jax
@@ -72,7 +75,8 @@ def main():
                             nkf_closest=2, min_pts=12, min_score=0.03,
                             ratio_ransac=0.3, seq_edge_successors=3),
         )
-        slam = SlamSystem(syscfg, cam, use_loop=args.loop)
+        slam = SlamSystem(syscfg, cam, use_loop=args.loop,
+                          output_sparse_map=args.viz_dir is not None)
 
     state = tracker.init_state(cfg)
     errs = []
@@ -94,11 +98,33 @@ def main():
         kf = " KF" if out_np.is_keyframe else ""
         print(f"frame {i:3d}  {status:9s} inliers={int(out_np.num_inliers):3d} "
               f"reproj={float(out_np.mean_reproj_err):5.2f}px  pos_err={err * 100:6.2f}cm{kf}")
+        if args.viz_dir:
+            from flvis_tpu.geometry import se3
+            from flvis_tpu.viz import cloud as vcloud, overlay
+
+            os.makedirs(args.viz_dir, exist_ok=True)
+            st = slam.fe_state if slam is not None else state
+            tbl = jax.tree.map(np.asarray, st.table)
+            T = se3.SE3(jnp.asarray(out_np.T_c_w.q), jnp.asarray(out_np.T_c_w.t))
+            z = np.asarray(se3.transform_points(T, jnp.asarray(tbl.p_w)))[:, 2]
+            vis = overlay.to_rgb(img_l)
+            fps = i / max(time.perf_counter() - t_start, 1e-6) if i > 0 else 0.0
+            overlay.draw_frame(vis, tbl.uv, z, tbl.active & tbl.has_3d,
+                               fps=fps, reproj_err=float(out_np.mean_reproj_err),
+                               zmin=1.0, zmax=12.0)
+            overlay.save_png(os.path.join(args.viz_dir, f"frame_{i:04d}.png"), vis)
+            if out_np.is_keyframe:
+                vcloud.save_frame_marker_ply(
+                    os.path.join(args.viz_dir, f"marker_{i:04d}.ply"),
+                    T, tbl.p_w, tbl.active & tbl.has_3d)
     elapsed = time.perf_counter() - t_start
     n_timed = len(frames) - 1
     if slam is not None and slam.loop_closer is not None:
         ncl = len(slam.loop_closer.closures)
         print(f"\nloop closures accepted: {ncl}")
+    if args.viz_dir and slam is not None and slam.sparse_map is not None:
+        n_map = slam.sparse_map.save_ply(os.path.join(args.viz_dir, "sparse_map.ply"))
+        print(f"sparse map: {n_map} voxel points -> {args.viz_dir}/sparse_map.ply")
     ate = float(np.sqrt(np.mean(np.square(errs))))
     path_len = 0.03 * len(poses)
     print(f"\nATE RMSE: {ate * 100:.2f} cm over a {path_len:.2f} m path "

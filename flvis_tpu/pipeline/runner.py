@@ -37,7 +37,7 @@ class SlamSystem:
 
     def __init__(self, cfg: SystemConfig, cam: StereoCamera,
                  T_i_c: Optional[SE3] = None, use_imu: bool = False,
-                 use_loop: bool = False):
+                 use_loop: bool = False, output_sparse_map: bool = False):
         self.cfg = cfg
         self.cam = cam
         self.use_imu = use_imu
@@ -55,6 +55,14 @@ class SlamSystem:
 
             self.loop_closer = LoopCloser(cfg.loop, cam,
                                           depth_mode=cfg.frontend.depth_mode)
+        # The reference's `output_sparse_map` YAML flag: accumulate BA-
+        # corrected landmarks into a voxel-downsampled map cloud
+        # (vo_localmap.cpp:367-377).
+        self.sparse_map = None
+        if output_sparse_map:
+            from ..viz.cloud import SparseMapRecorder
+
+            self.sparse_map = SparseMapRecorder()
 
     # ------------------------------------------------------------------ IMU
     def feed_imu(self, acc, gyro, t):
@@ -109,6 +117,10 @@ class SlamSystem:
             res = window_ba.optimize(cfg.backend, self.cam, self.ba_state)
             self.ba_state = res.state
             self.pending_corr = res.correction   # applied next frame (async)
+            if self.sparse_map is not None and bool(res.correction.valid):
+                self.sparse_map.add_correction(
+                    res.correction.lm_id, res.correction.lm_pw,
+                    res.correction.lm_mask)
             self.keyframes.append(pkt)
             self.ba_costs.append(res.cost)
             if self.loop_closer is not None:
