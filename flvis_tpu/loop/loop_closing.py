@@ -59,11 +59,21 @@ class LoopCloser:
 
     def __init__(self, cfg: LoopConfig, cam: StereoCamera,
                  vocab: Optional[bow.Vocabulary] = None,
-                 depth_mode: bool = False, mesh=None):
+                 depth_mode: bool = False, mesh=None,
+                 pgo_device=None, dump_dir: Optional[str] = None):
         self.cfg = cfg
         self.cam = cam
         self.vocab = vocab
         self.depth_mode = depth_mode
+        # Debug-dump directory: similarity-matrix txt every 10 KFs and the
+        # pose graph before/after each PGO run (the reference writes these to
+        # hard-coded home paths, vo_loopclosing.cpp:439-452,879,887).
+        self.dump_dir = dump_dir
+        # Optional separate device for the PGO solve — the reference runs
+        # PGO on its own pgoProcess thread (vo_loopclosing.cpp:393-518);
+        # here the graph program can be placed on a different chip so it
+        # overlaps the frontend/backend devices via async dispatch.
+        self.pgo_device = pgo_device
         K, F, V = cfg.max_keyframes, cfg.num_orb_features, cfg.vocab_words
         # BoW database lives ON DEVICE: similarity against the whole database
         # is a single device matvec with no host round-trip of the (K, V)
@@ -141,7 +151,37 @@ class LoopCloser:
         if self.vocab is not None:
             self._set_db_row(k, bow.transform(self.vocab, desc, kp_valid))
         self.count += 1
+        if self.dump_dir is not None and self.count % 10 == 0:
+            self.dump_sim_matrix(
+                f"{self.dump_dir}/sim_matrix_{self.count:05d}.txt")
         return k
+
+    # -------------------------------------------------------------- debug IO
+    def sim_matrix(self) -> np.ndarray:
+        """Full pairwise BoW similarity over stored keyframes (count, count)
+        — computed as one batched device op rather than the reference's
+        accumulated row-by-row host matrix (vo_loopclosing.cpp:421-452)."""
+        if self.vocab is None or self.count == 0:
+            return np.zeros((self.count, self.count), np.float32)
+        valid = jnp.arange(self.bow_db.shape[0]) < self.count
+        S = jax.vmap(lambda q: bow.score_database(q, self.bow_db, valid))(
+            self.bow_db)
+        return np.asarray(S)[: self.count, : self.count]
+
+    def dump_sim_matrix(self, path: str) -> None:
+        np.savetxt(path, self.sim_matrix(), fmt="%.6f")
+
+    def _dump_graph(self, tag: str) -> None:
+        """Pose-graph snapshot (the reference's optimizer.save of
+        before.g2o/after.g2o) as an .npz of node poses + edge list."""
+        n = self.count
+        np.savez(
+            f"{self.dump_dir}/pose_graph_{tag}.npz",
+            node_q=np.stack([np.asarray(T.q) for T in self.kf_T_wc[:n]]),
+            node_t=np.stack([np.asarray(T.t) for T in self.kf_T_wc[:n]]),
+            loops=np.asarray([[c.kf_i, c.kf_j, c.num_inliers]
+                              for c in self.closures], np.int64),
+        )
 
     def _set_db_row(self, k: int, row) -> None:
         if self._dist is not None:
@@ -296,6 +336,11 @@ class LoopCloser:
             edge_weight=jnp.asarray(ew + [1.0] * pad, jnp.float32),
         )
         fixed = jnp.zeros(n_pad, bool).at[0].set(True)
+        if self.dump_dir is not None:
+            self._dump_graph(f"{self.count:05d}_before")
+        if self.pgo_device is not None:
+            g = jax.device_put(g, self.pgo_device)
+            fixed = jax.device_put(fixed, self.pgo_device)
         g2, _ = pose_graph.optimize(g, fixed, iters=min(cfg.pgo_iters, 30))
         for idx in range(n):
             self.kf_T_wc[idx] = SE3(g2.node_q[idx], g2.node_t[idx])
@@ -303,6 +348,8 @@ class LoopCloser:
         self.T_map_odom = se3m.compose(
             self.kf_T_wc[n - 1], se3m.inverse(self.kf_T_wc_odom[n - 1])
         )
+        if self.dump_dir is not None:
+            self._dump_graph(f"{self.count:05d}_after")
 
     # ---------------------------------------------------------------- query
     def corrected_pose(self, T_c_w_odom: SE3) -> SE3:

@@ -121,3 +121,50 @@ class TestLoopCloserSharded:
             got = np.asarray(dist_loop.score_database_sharded(
                 mesh, lc_sh.bow_db[k], lc_sh.bow_db, valid))
             np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+class TestLoopCloserDebugIO:
+    def test_sim_matrix_dump_and_graph_snapshots(self, tmp_path):
+        """Every-10-KF similarity dumps + before/after PGO graph snapshots
+        (the reference's debug artifacts, vo_loopclosing.cpp:439-452,879,887)."""
+        import jax
+
+        scfg = SceneConfig(width=256, height=192, fx=200.0, fy=200.0,
+                           cx=128.0, cy=96.0, baseline=0.12)
+        scene = PlanarScene(scfg, plane_depth=8.0, seed=5)
+        cam = camera.make(scfg.fx, scfg.fy, scfg.cx, scfg.cy, scfg.baseline,
+                          width=scfg.width, height=scfg.height)
+        cfg = LoopConfig(max_keyframes=32, num_orb_features=128, vocab_words=64,
+                         kf_start=6, kf_dist=4, kf_max_dist=32, nkf_closest=1,
+                         min_pts=10, min_score=0.02, ratio_ransac=0.25,
+                         seq_edge_successors=2)
+        lc = LoopCloser(cfg, cam, dump_dir=str(tmp_path),
+                        pgo_device=jax.devices()[-1])
+        n = 14
+        half = n // 2
+        xs = list(np.linspace(0, 0.5, half)) + list(np.linspace(0.5, 0.01, n - half))
+        for k, x in enumerate(xs):
+            R = np.eye(3)
+            t = -R @ np.asarray([x, 0.0, 0.0])
+            img_l, img_r, _ = scene.render(R, t)
+            drift = 0.012 * k
+            T = se3.SE3(so3.identity(),
+                        jnp.asarray(t + np.asarray([0.0, drift, 0.0]),
+                                    jnp.float32))
+            idx = lc.add_keyframe(img_l, img_r, T, frame_id=k)
+            if lc.detect_loop(idx) is not None:
+                lc.optimize_graph()
+        sims = sorted(tmp_path.glob("sim_matrix_*.txt"))
+        assert len(sims) >= 1
+        m = np.loadtxt(sims[0])
+        assert m.shape == (10, 10)
+        np.testing.assert_allclose(np.diag(m), 1.0, atol=1e-5)
+        np.testing.assert_allclose(m, m.T, atol=1e-5)
+        S = lc.sim_matrix()
+        assert S.shape == (lc.count, lc.count)
+        if lc.closures:
+            before = sorted(tmp_path.glob("pose_graph_*_before.npz"))
+            after = sorted(tmp_path.glob("pose_graph_*_after.npz"))
+            assert before and after
+            a = np.load(after[-1])
+            assert a["node_q"].shape[1] == 4 and len(a["loops"]) >= 1
