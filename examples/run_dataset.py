@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--imu", action="store_true", help="enable IMU fusion (EuRoC)")
     ap.add_argument("--loop", action="store_true", help="enable loop closing + PGO")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="replay fast path: process N frames per lax.scan "
+                         "device program (no per-frame dispatch; no IMU)")
     ap.add_argument("--out", default="est_traj.tum")
     args = ap.parse_args()
 
@@ -97,14 +100,36 @@ def main():
 
     n = min(args.frames or len(ds), len(ds))
     t0 = time.perf_counter()
-    for i, fr in enumerate(ds.frames(stop=n)):
-        if args.imu and getattr(fr, "imu_t", None) is not None and len(fr.imu_t):
-            slam.feed_imu(fr.imu_acc, fr.imu_gyro, fr.imu_t)
-        out = slam.process_frame(fr.img0, fr.img1, t_img=fr.t)
-        if i % 20 == 0:
-            status = ["UNINIT", "TRACK", "FAIL"][int(out.status)]
-            print(f"frame {i:5d}/{n}  {status}  inliers={int(out.num_inliers):3d} "
-                  f"kfs={len(slam.keyframes)}", flush=True)
+    if args.chunk > 1:
+        if args.imu:
+            raise SystemExit("--chunk replay does not support --imu "
+                             "(feedforward needs per-frame dispatch)")
+        buf = []
+        done = 0
+        for fr in ds.frames(stop=n):
+            buf.append(fr)
+            if len(buf) == args.chunk:
+                outs = slam.process_frames(
+                    np.stack([f.img0 for f in buf]),
+                    np.stack([f.img1 for f in buf]),
+                    ts=np.asarray([f.t for f in buf]))
+                done += len(buf)
+                status = ["UNINIT", "TRACK", "FAIL"][int(outs.status[-1])]
+                print(f"frame {done:5d}/{n}  {status}  "
+                      f"inliers={int(outs.num_inliers[-1]):3d} "
+                      f"kfs={len(slam.keyframes)}", flush=True)
+                buf = []
+        for f in buf:  # tail shorter than a chunk: stepwise
+            slam.process_frame(f.img0, f.img1, t_img=f.t)
+    else:
+        for i, fr in enumerate(ds.frames(stop=n)):
+            if args.imu and getattr(fr, "imu_t", None) is not None and len(fr.imu_t):
+                slam.feed_imu(fr.imu_acc, fr.imu_gyro, fr.imu_t)
+            out = slam.process_frame(fr.img0, fr.img1, t_img=fr.t)
+            if i % 20 == 0:
+                status = ["UNINIT", "TRACK", "FAIL"][int(out.status)]
+                print(f"frame {i:5d}/{n}  {status}  inliers={int(out.num_inliers):3d} "
+                      f"kfs={len(slam.keyframes)}", flush=True)
     elapsed = time.perf_counter() - t0
     print(f"\nprocessed {n} frames in {elapsed:.1f} s ({n / elapsed:.1f} fps)")
 

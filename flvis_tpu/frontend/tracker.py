@@ -551,3 +551,34 @@ def apply_correction(state: TrackerState, corr):
         ring_q=jnp.where(newer[:, None], ring_T.q, state.ring_q),
         ring_t=jnp.where(newer[:, None], ring_T.t, state.ring_t),
     )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "with_packets"))
+def track_frames_scan(cfg: FrontendConfig, cam: StereoCamera,
+                      state: TrackerState, imgs0, imgs1,
+                      with_packets: bool = False):
+    """Process a chunk of T frames as ONE device program (lax.scan).
+
+    The TPU-first replay mode: per-frame Python dispatch (~50-100 µs each;
+    a full network round trip under a remote-TPU tunnel) disappears and XLA
+    pipelines the chunk; outputs come back stacked.  Semantics match calling
+    track_frame T times with no prior and no interleaved corrections (the
+    per-frame RNG is the same frame-id fold, so results are bitwise
+    identical) — backend feedback then applies at chunk boundaries instead
+    of per frame, which is exactly the reference's "corrections arrive K
+    frames late" contract (f2f_tracking.cpp:189-219) with K = chunk length.
+
+    Args:
+      imgs0/imgs1: (T, H, W) stacked rectified stereo (or depth) frames.
+      with_packets: also return a KeyframePacket per frame (the /vo_kf
+        stream for the backends; rows are meaningful where is_keyframe).
+    Returns: (final TrackerState, FrameOutput stacked over T[, packets]).
+    """
+    def step(st, xs):
+        i0, i1 = xs
+        st2, out = track_frame(cfg, cam, st, i0, i1)
+        if with_packets:
+            return st2, (out, make_keyframe_packet(st2, out))
+        return st2, out
+
+    return jax.lax.scan(step, state, (imgs0, imgs1))

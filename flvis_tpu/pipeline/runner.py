@@ -142,6 +142,62 @@ class SlamSystem:
         )
         return out
 
+    # ---------------------------------------------------------- chunk replay
+    def process_frames(self, imgs0, imgs1, ts=None):
+        """Dataset-replay fast path: run a CHUNK of frames as one lax.scan
+        device program, then handle keyframes/corrections on the host.
+
+        ~8x the stepwise throughput (no per-frame dispatch).  BA feedback
+        lands at chunk boundaries — the reference's corrections already
+        arrive K frames late (f2f_tracking.cpp:189-219), here K = chunk.
+        IMU feedforward is not available inside a chunk, so this path suits
+        the no-IMU configs (e.g. KITTI) or post-processing runs.
+
+        Args:
+          imgs0/imgs1: (T, H, W) stacked frames; ts optional (T,) times.
+        Returns the stacked FrameOutput (host numpy pytree).
+        """
+        cfg = self.cfg
+        if self.pending_corr is not None:
+            self.fe_state = tracker.apply_correction(self.fe_state, self.pending_corr)
+            self.pending_corr = None
+        imgs0 = jnp.asarray(imgs0)
+        imgs1 = jnp.asarray(imgs1)
+        T = imgs0.shape[0]
+        self.fe_state, (outs, pkts) = tracker.track_frames_scan(
+            cfg.frontend, self.cam, self.fe_state, imgs0, imgs1,
+            with_packets=True)
+        outs_np = jax.tree.map(np.asarray, outs)
+        first_fid = int(self.fe_state.frame_id) - T
+        for i in range(T):
+            t_img = float(ts[i]) if ts is not None else 0.0
+            if bool(outs_np.reset_backend[i]):
+                self.ba_state = window_ba.reset(cfg.backend, self.ba_state)
+            if bool(outs_np.is_keyframe[i]):
+                pkt = jax.tree.map(lambda a: a[i], pkts)
+                self.ba_state = window_ba.add_keyframe(cfg.backend,
+                                                       self.ba_state, pkt)
+                res = window_ba.optimize(cfg.backend, self.cam, self.ba_state)
+                self.ba_state = res.state
+                self.pending_corr = res.correction
+                if self.sparse_map is not None and bool(res.correction.valid):
+                    self.sparse_map.add_correction(
+                        res.correction.lm_id, res.correction.lm_pw,
+                        res.correction.lm_mask)
+                self.keyframes.append(pkt)
+                self.ba_costs.append(res.cost)
+                if self.loop_closer is not None:
+                    T_c_w = SE3(jnp.asarray(outs_np.T_c_w.q[i]),
+                                jnp.asarray(outs_np.T_c_w.t[i]))
+                    k = self.loop_closer.add_keyframe(
+                        imgs0[i], imgs1[i], T_c_w, int(pkt.frame_id))
+                    if self.loop_closer.detect_loop(k) is not None:
+                        self.loop_closer.optimize_graph()
+            self.trajectory.append(
+                (first_fid + i, float(ts[i]) if ts is not None else 0.0,
+                 outs_np.T_c_w.q[i], outs_np.T_c_w.t[i]))
+        return outs_np
+
     # ------------------------------------------------------------- exports
     def trajectory_cam_centers(self, loop_corrected: bool = False):
         """(N, 3) camera centres C = -Rᵀ t in world frame.

@@ -46,3 +46,38 @@ class TestPipeline:
         _, sys_, _ = pipeline_run
         costs = [float(c) for c in sys_.ba_costs]
         assert all(np.isfinite(c) for c in costs)
+
+
+class TestChunkReplay:
+    def test_process_frames_matches_accuracy(self):
+        """The lax.scan chunked replay path tracks the same synthetic
+        sequence within the same ATE bound as the stepwise path."""
+        scfg = SceneConfig()
+        scene = PlanarScene(scfg, plane_depth=8.0, seed=4)
+        poses = orbit_trajectory(24, step=0.03)
+        cfg = SystemConfig(
+            frontend=FrontendConfig(width=scfg.width, height=scfg.height,
+                                    num_slots=128, pyramid_levels=3, per_cell=8,
+                                    min_distance=12.0, margin=22),
+            backend=BackendConfig(window_size=5, max_landmarks=256,
+                                  iters1=8, iters2=4),
+        )
+        cam = camera.make(scfg.fx, scfg.fy, scfg.cx, scfg.cy, scfg.baseline,
+                          width=scfg.width, height=scfg.height)
+        sys_ = SlamSystem(cfg, cam)
+        frames = [scene.render(R, t) for (R, t) in poses]
+        chunk = 8
+        for c0 in range(0, len(frames), chunk):
+            batch = frames[c0:c0 + chunk]
+            i0 = np.stack([b[0] for b in batch])
+            i1 = np.stack([b[1] for b in batch])
+            outs = sys_.process_frames(i0, i1)
+            assert outs.status.shape[0] == len(batch)
+        assert len(sys_.trajectory) == len(poses)
+        assert len(sys_.keyframes) >= 4
+        # Every frame after init must be TRACKING.
+        C_est = sys_.trajectory_cam_centers()
+        C_gt = np.asarray([-R.T @ t for (R, t) in poses])
+        ate = np.sqrt(np.mean(np.sum((C_est - C_gt) ** 2, axis=-1)))
+        path = 0.03 * len(poses)
+        assert ate < 0.02 * path + 0.01, f"ATE {ate:.4f} m over {path:.2f} m"

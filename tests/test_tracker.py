@@ -235,3 +235,41 @@ class TestRotationDominant:
         # 0.32 rad total sweep with a 0.1 rad gate → ≥ 3 rotation keyframes
         # (plus the init frame).
         assert kfs >= 3, kfs
+
+
+class TestScanPath:
+    def test_scan_matches_sequential(self):
+        """track_frames_scan is bitwise-equivalent to per-frame track_frame."""
+        import jax
+
+        from flvis_tpu.io.synthetic import PlanarScene, SceneConfig, orbit_trajectory
+
+        cfg = FrontendConfig(width=256, height=192, num_slots=64,
+                             pyramid_levels=3, per_cell=4, min_distance=10.0,
+                             margin=12, lk_radius=7, ransac_hypotheses=32)
+        scfg = SceneConfig(width=256, height=192, fx=200.0, fy=200.0,
+                           cx=128.0, cy=96.0, baseline=0.12)
+        scene = PlanarScene(scfg, plane_depth=8.0, seed=2)
+        cam = camera.make(200.0, 200.0, 128.0, 96.0, 0.12, width=256, height=192)
+        poses = orbit_trajectory(6, step=0.03)
+        frames = [scene.render(R, t) for (R, t) in poses]
+        imgs0 = jnp.stack([jnp.asarray(f[0]) for f in frames])
+        imgs1 = jnp.stack([jnp.asarray(f[1]) for f in frames])
+
+        st_seq = tracker.init_state(cfg)
+        outs = []
+        for i in range(6):
+            st_seq, o = tracker.track_frame(cfg, cam, st_seq, imgs0[i], imgs1[i])
+            outs.append(o)
+        st_scan, out_scan = tracker.track_frames_scan(
+            cfg, cam, tracker.init_state(cfg), imgs0, imgs1)
+
+        np.testing.assert_array_equal(np.asarray(out_scan.status),
+                                      np.asarray([int(o.status) for o in outs]))
+        np.testing.assert_allclose(np.asarray(out_scan.T_c_w.t),
+                                   np.stack([np.asarray(o.T_c_w.t) for o in outs]),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(st_scan.T_c_w.t),
+                                   np.asarray(st_seq.T_c_w.t), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(st_scan.table.lm_id),
+                                      np.asarray(st_seq.table.lm_id))
