@@ -143,6 +143,22 @@ def main():
     jax.block_until_ready(mstates)
     agg_fps = n_b * S / (time.perf_counter() - t0)
 
+    # --- vmap × scan: S sequences × T frames in one device program ----------
+    Tn = 8
+    i0s = jnp.stack([jnp.stack([jnp.roll(imgs[t % len(imgs)][0], 7 * s, axis=1)
+                                for t in range(Tn)]) for s in range(S)])
+    i1s = jnp.stack([jnp.stack([jnp.roll(imgs[t % len(imgs)][1], 7 * s, axis=1)
+                                for t in range(Tn)]) for s in range(S)])
+    vstates = multiseq.init_states(cfg, S)
+    vstates, _ = multiseq.track_frames_scan_batch(cfg, cams, vstates, i0s, i1s)
+    jax.block_until_ready(vstates)
+    n_v = 6
+    t0 = time.perf_counter()
+    for _ in range(n_v):
+        vstates, _ = multiseq.track_frames_scan_batch(cfg, cams, vstates, i0s, i1s)
+    jax.block_until_ready(vstates)
+    vmap_scan_fps = n_v * S * Tn / (time.perf_counter() - t0)
+
     baseline = 30.0
     # Headline = the chunked (lax.scan) dataset-replay mode, the apples-to-
     # apples counterpart of the reference's 30 Hz KITTI replay envelope.
@@ -161,6 +177,7 @@ def main():
         "stepwise_frames_per_s": round(fps, 2),
         "window_ba_ms_per_keyframe": round(ba_ms, 3),
         "multiseq16_frames_per_s": round(agg_fps, 1),
+        "multiseq16_scan8_frames_per_s": round(vmap_scan_fps, 1),
     }
     print(json.dumps(result))
 

@@ -188,11 +188,18 @@ def load_yaml(path: str) -> SystemConfig:
         vio["acc_bias_gain"] = float(y["vifusion_para3"])
     if "vifusion_para4" in y:
         vio["gyro_bias_gain"] = float(y["vifusion_para4"])
+    if "vifusion_para5" in y:
+        vio["acc_bias_sat"] = float(y["vifusion_para5"])
+    if "vifusion_para6" in y:
+        vio["gyro_bias_sat"] = float(y["vifusion_para6"])
     be = {}
     if "window_size" in y:
         be["window_size"] = max(3, min(100, int(y["window_size"])))
     lc = {}
+    # lcKFLast is read by the reference but never used (vo_loopclosing.cpp:
+    # 91,958 — dead parameter); it is intentionally not mapped.
     for src, dst in [("lcKFStart", "kf_start"), ("lcKFDist", "kf_dist"),
+                     ("lcKFMaxDist", "kf_max_dist"),
                      ("lcNKFClosest", "nkf_closest"), ("ratioMax", "ratio_max"),
                      ("ratioRansac", "ratio_ransac"), ("minPts", "min_pts"),
                      ("minScore", "min_score")]:

@@ -75,3 +75,34 @@ def shard_batch(mesh: Mesh, tree):
         ),
         tree,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def track_frames_scan_batch(cfg: FrontendConfig, cams: StereoCamera,
+                            states, imgs0, imgs1):
+    """Chunked replay for S independent sequences: lax.scan over T frames of
+    the vmapped per-frame step — ONE device program for S·T tracking steps.
+
+    The full-throughput configuration (the "all EuRoC runs at once" mode):
+    no per-frame dispatch, no per-sequence dispatch, no collectives.
+    Structured as scan-of-vmap, NOT vmap-of-scan: vmapping a scanned tracker
+    batches the loop carry through gather/scatter lowerings that run ~1000×
+    slower on TPU, while scanning the (already fast) vmapped step keeps each
+    iteration identical to track_frame_batch.
+
+    Args:
+      imgs0/imgs1: (S, T, H, W) stacked frames per sequence.
+    Returns: (states, FrameOutput with leading (S, T) axes).
+    """
+    xs = (jnp.swapaxes(imgs0, 0, 1), jnp.swapaxes(imgs1, 0, 1))  # (T, S, H, W)
+
+    def step(sts, x):
+        i0, i1 = x
+        vstep = jax.vmap(
+            lambda cam, st, a, b: tracker.track_frame(cfg, cam, st, a, b))
+        return vstep(cams, sts, i0, i1)
+
+    states, outs = jax.lax.scan(step, states, xs)
+    # (T, S, ...) → (S, T, ...)
+    outs = jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), outs)
+    return states, outs

@@ -126,3 +126,45 @@ class TestDistLoop:
         db_sh = dist_loop.set_row(mesh, db_sh, jnp.asarray(5), row)
         np.testing.assert_allclose(np.asarray(db_sh[5]), np.asarray(row), atol=0)
         assert np.asarray(db_sh[6]).sum() == 0
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs multi-device mesh")
+class TestMultiSeqScan:
+    def test_vmap_scan_matches_per_sequence(self):
+        from flvis_tpu.frontend import tracker
+        from flvis_tpu.io.synthetic import PlanarScene, SceneConfig, orbit_trajectory
+
+        S, T = 4, 3
+        cfg = FrontendConfig(width=256, height=192, num_slots=64, pyramid_levels=3,
+                             per_cell=4, min_distance=10.0, margin=12, lk_radius=7,
+                             ransac_hypotheses=32)
+        mesh = multiseq.make_mesh(S)
+        cam1 = camera.make(200.0, 200.0, 128.0, 96.0, 0.12, width=256, height=192)
+        cams = jax.tree.map(
+            lambda a: jnp.broadcast_to(jnp.asarray(a), (S,) + jnp.shape(jnp.asarray(a))),
+            cam1)
+        scfg = SceneConfig(width=256, height=192, fx=200.0, fy=200.0, cx=128.0,
+                           cy=96.0, baseline=0.12)
+        # Distinct scene per sequence.
+        seq_imgs = []
+        for s in range(S):
+            scene = PlanarScene(scfg, plane_depth=8.0, seed=s)
+            frames = [scene.render(R, t) for (R, t) in orbit_trajectory(T, step=0.03)]
+            seq_imgs.append((np.stack([f[0] for f in frames]),
+                             np.stack([f[1] for f in frames])))
+        imgs0 = jnp.asarray(np.stack([si[0] for si in seq_imgs]))
+        imgs1 = jnp.asarray(np.stack([si[1] for si in seq_imgs]))
+
+        states = multiseq.init_states(cfg, S, mesh)
+        states2, outs = multiseq.track_frames_scan_batch(
+            cfg, multiseq.shard_batch(mesh, cams), states,
+            multiseq.shard_batch(mesh, imgs0), multiseq.shard_batch(mesh, imgs1))
+        assert np.asarray(outs.status).shape == (S, T)
+        # Per-sequence reference: single-sequence scan.
+        for s in range(S):
+            st_ref, out_ref = tracker.track_frames_scan(
+                cfg, cam1, tracker.init_state(cfg), imgs0[s], imgs1[s])
+            np.testing.assert_allclose(np.asarray(outs.T_c_w.t)[s],
+                                       np.asarray(out_ref.T_c_w.t), atol=1e-5)
+            np.testing.assert_array_equal(np.asarray(outs.status)[s],
+                                          np.asarray(out_ref.status))
