@@ -74,6 +74,8 @@ def save_slam_system(path: str, slam) -> None:
         np.float64,
     ).reshape(-1, 9)
     np.save(path + ".traj.npy", traj)
+    if slam.loop_closer is not None:
+        save_loop_closer(path + ".loop.npz", slam.loop_closer)
 
 
 def load_slam_system(path: str, slam) -> None:
@@ -89,3 +91,72 @@ def load_slam_system(path: str, slam) -> None:
         (int(r[0]), float(r[1]), r[2:6].astype(np.float32), r[6:9].astype(np.float32))
         for r in traj
     ]
+    import os
+
+    if slam.loop_closer is not None and os.path.exists(path + ".loop.npz"):
+        load_loop_closer(path + ".loop.npz", slam.loop_closer)
+
+
+def save_loop_closer(path: str, lc) -> None:
+    """Checkpoint a loop.loop_closing.LoopCloser: keyframe database (BoW
+    vectors, ORB features, keypoint 3D), node poses, accepted closures,
+    drift transform, and the trained vocabulary."""
+    n = lc.count
+    arrays = {
+        "bow_db": np.asarray(lc.bow_db)[:n],
+        "kf_uv": lc.kf_uv[:n], "kf_desc": lc.kf_desc[:n],
+        "kf_kp_valid": lc.kf_kp_valid[:n], "kf_pc": lc.kf_pc[:n],
+        "kf_pc_valid": lc.kf_pc_valid[:n], "kf_frame_id": lc.kf_frame_id[:n],
+        "T_wc_odom_q": np.stack([np.asarray(T.q) for T in lc.kf_T_wc_odom]) if n else np.zeros((0, 4)),
+        "T_wc_odom_t": np.stack([np.asarray(T.t) for T in lc.kf_T_wc_odom]) if n else np.zeros((0, 3)),
+        "T_wc_q": np.stack([np.asarray(T.q) for T in lc.kf_T_wc]) if n else np.zeros((0, 4)),
+        "T_wc_t": np.stack([np.asarray(T.t) for T in lc.kf_T_wc]) if n else np.zeros((0, 3)),
+        "closures": np.asarray(
+            [[c.kf_i, c.kf_j, c.num_inliers, *np.asarray(c.T_ij.q),
+              *np.asarray(c.T_ij.t)] for c in lc.closures],
+            np.float64).reshape(-1, 10),
+        "T_map_odom_q": np.asarray(lc.T_map_odom.q),
+        "T_map_odom_t": np.asarray(lc.T_map_odom.t),
+    }
+    if lc.vocab is not None:
+        arrays["vocab_words"] = np.asarray(lc.vocab.words_pm1)
+        arrays["vocab_idf"] = np.asarray(lc.vocab.idf)
+    np.savez_compressed(path, **arrays)
+
+
+def load_loop_closer(path: str, lc) -> None:
+    """Restore a LoopCloser checkpoint in place (lc provides capacity)."""
+    import jax.numpy as jnp
+
+    from ..geometry.se3 import SE3
+    from ..loop import bow
+    from ..loop.loop_closing import LoopClosure
+
+    d = np.load(path)
+    n = len(d["kf_frame_id"])
+    if n > lc.cfg.max_keyframes:
+        raise ValueError(f"checkpoint has {n} KFs > capacity {lc.cfg.max_keyframes}")
+    if "vocab_words" in d:
+        lc.vocab = bow.Vocabulary(jnp.asarray(d["vocab_words"]),
+                                  jnp.asarray(d["vocab_idf"]))
+    lc.count = n
+    for i in range(n):
+        lc._set_db_row(i, jnp.asarray(d["bow_db"][i]))
+    lc.kf_uv[:n] = d["kf_uv"]
+    lc.kf_desc[:n] = d["kf_desc"]
+    lc.kf_kp_valid[:n] = d["kf_kp_valid"]
+    lc.kf_pc[:n] = d["kf_pc"]
+    lc.kf_pc_valid[:n] = d["kf_pc_valid"]
+    lc.kf_frame_id[:n] = d["kf_frame_id"]
+    lc.kf_T_wc_odom = [SE3(jnp.asarray(d["T_wc_odom_q"][i]),
+                           jnp.asarray(d["T_wc_odom_t"][i])) for i in range(n)]
+    lc.kf_T_wc = [SE3(jnp.asarray(d["T_wc_q"][i]), jnp.asarray(d["T_wc_t"][i]))
+                  for i in range(n)]
+    lc.closures = [
+        LoopClosure(int(r[0]), int(r[1]), int(r[2]),
+                    SE3(jnp.asarray(r[3:7], jnp.float32),
+                        jnp.asarray(r[7:10], jnp.float32)))
+        for r in d["closures"]
+    ]
+    lc.T_map_odom = SE3(jnp.asarray(d["T_map_odom_q"]),
+                        jnp.asarray(d["T_map_odom_t"]))

@@ -79,3 +79,48 @@ class TestSlamResume:
         # Identical except for the dropped in-flight correction at the
         # checkpoint boundary — allow a small tolerance.
         np.testing.assert_allclose(C1, C2, atol=5e-3)
+
+
+class TestLoopCloserCheckpoint:
+    def test_loop_closer_roundtrip(self, tmp_path):
+        """LoopCloser state round-trips: vocab, database, poses, closures,
+        drift — and a restored closer keeps detecting loops."""
+        import jax.numpy as jnp
+
+        from flvis_tpu.config import LoopConfig
+        from flvis_tpu.geometry import camera, se3, so3
+        from flvis_tpu.io.synthetic import PlanarScene, SceneConfig
+        from flvis_tpu.loop.loop_closing import LoopCloser
+        from flvis_tpu.utils import checkpoint as ckpt
+
+        scfg = SceneConfig(width=256, height=192, fx=200.0, fy=200.0,
+                           cx=128.0, cy=96.0, baseline=0.12)
+        scene = PlanarScene(scfg, plane_depth=8.0, seed=9)
+        cam = camera.make(scfg.fx, scfg.fy, scfg.cx, scfg.cy, scfg.baseline,
+                          width=scfg.width, height=scfg.height)
+        cfg = LoopConfig(max_keyframes=32, num_orb_features=128, vocab_words=64,
+                         kf_start=4, kf_dist=3, kf_max_dist=32, nkf_closest=1,
+                         min_score=0.0)
+        lc = LoopCloser(cfg, cam)
+        for k in range(10):
+            img_l, img_r, _ = scene.render(np.eye(3), np.asarray([0.04 * k, 0, 0]))
+            T = se3.SE3(so3.identity(), jnp.asarray([0.04 * k, 0.0, 0.0]))
+            lc.add_keyframe(img_l, img_r, T, frame_id=k)
+        lc.T_map_odom = se3.SE3(so3.identity(), jnp.asarray([0.0, 0.1, 0.0]))
+
+        path = str(tmp_path / "lc.npz")
+        ckpt.save_loop_closer(path, lc)
+        lc2 = LoopCloser(cfg, cam)
+        ckpt.load_loop_closer(path, lc2)
+        assert lc2.count == lc.count
+        np.testing.assert_allclose(np.asarray(lc2.bow_db)[:10],
+                                   np.asarray(lc.bow_db)[:10], atol=1e-6)
+        np.testing.assert_array_equal(lc2.kf_frame_id[:10], lc.kf_frame_id[:10])
+        np.testing.assert_allclose(np.asarray(lc2.T_map_odom.t),
+                                   [0.0, 0.1, 0.0], atol=1e-7)
+        np.testing.assert_allclose(np.asarray(lc2.kf_T_wc[5].t),
+                                   np.asarray(lc.kf_T_wc[5].t), atol=1e-7)
+        # The restored closer can score against its database.
+        S = lc2.sim_matrix()
+        assert S.shape == (10, 10)
+        np.testing.assert_allclose(np.diag(S), 1.0, atol=1e-5)
