@@ -44,6 +44,70 @@ def _db_set_row(db, k, row):
     return db.at[k].set(row)
 
 
+@functools.partial(jax.jit, static_argnames=("num_features", "depth_mode"))
+def _ingest(img_l, img_r, cam: StereoCamera, num_features: int,
+            depth_mode: bool):
+    """Fused thread-A ingest program: ORB detect+compute plus keypoint depth
+    (stereo LK or depth-image lookup) in ONE device program — the reference
+    runs these as successive host calls (vo_loopclosing.cpp:243-351); under
+    a remote-dispatch tunnel every separate program launch is a round trip.
+    Returns (uv, desc, kp_valid, p_c, pc_valid)."""
+    uv, desc, kp_valid, _ = orb.detect_and_compute(
+        img_l, num_features=num_features)
+    if depth_mode:
+        # img_r is an aligned depth image (Z16 / depth_factor), not intensity.
+        z = imops.bilinear_sample(img_r, uv) / cam.depth_factor
+        d_ok = (z > 0.1) & (z < 100.0)
+    else:
+        pyr_l = imops.build_grad_pyramid(img_l, 3)
+        pyr_r = imops.build_grad_pyramid(img_r, 3)
+        guess = jnp.full(uv.shape[0], cam.fx * cam.baseline / 4.0)
+        disp, d_ok = lk_ops.stereo_lk(pyr_l, pyr_r, uv, guess, kp_valid)
+        z = cam.fx * cam.baseline / jnp.maximum(disp, 1e-3)
+        d_ok = d_ok & (z > 0.1) & (z < 100.0)
+    p_c = cam_m.backproject(cam, uv, z)
+    return uv, desc, kp_valid, p_c, d_ok & kp_valid
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
+def _store_set_rows(uv_s, desc_s, kpv_s, pc_s, pcv_s, k,
+                    uv, desc, kpv, pc, pcv):
+    """Donated row writes into the device-resident keyframe feature store."""
+    return (uv_s.at[k].set(uv), desc_s.at[k].set(desc), kpv_s.at[k].set(kpv),
+            pc_s.at[k].set(pc), pcv_s.at[k].set(pcv))
+
+
+@functools.partial(jax.jit, static_argnames=("num_hypotheses",))
+def _verify_device(desc_s, kpv_s, pcv_s, pc_s, uv_s, i, j,
+                   Twi_q, Twi_t, Twj_q, Twj_t, fx, fy, cx, cy, key,
+                   ratio, threshold_n, num_hypotheses: int):
+    """Geometric loop verification as ONE device program over the resident
+    store (isLoopClosureKF, vo_loopclosing.cpp:591-729): gather the two
+    keyframes' rows, mutual-ratio match, PnP RANSAC from KF i's world points
+    to KF j's normalized pixels, and compute the accept-gate statistics.
+
+    Returns (T_ij.q, T_ij.t, n_match, n_inl, |Δt|, |Δlog R|) — six tiny
+    scalars/vectors; nothing keyframe-sized crosses the host boundary."""
+    desc_i, desc_j = desc_s[i], desc_s[j]
+    valid_i = kpv_s[i] & pcv_s[i]
+    valid_j = kpv_s[j]
+    match_j, good = orb.mutual_ratio_match(
+        desc_i, desc_j, valid_i, valid_j, ratio=ratio)
+    T_wc_i = SE3(Twi_q, Twi_t)
+    pts_w = se3m.transform_points(T_wc_i, pc_s[i])
+    uv_j = uv_s[j][match_j]
+    xn = jnp.stack([(uv_j[:, 0] - cx) / fx, (uv_j[:, 1] - cy) / fy], axis=-1)
+    T_cj_w, _, n_inl = pnp.pnp_ransac(
+        key, pts_w, xn, good, threshold_n=threshold_n,
+        num_hypotheses=num_hypotheses)
+    T_wc_j_meas = se3m.inverse(T_cj_w)
+    delta = se3m.compose(se3m.inverse(SE3(Twj_q, Twj_t)), T_wc_j_meas)
+    dt = jnp.linalg.norm(delta.t)
+    dr = jnp.linalg.norm(so3.log(delta.q))
+    T_ij = se3m.compose(se3m.inverse(T_wc_i), T_wc_j_meas)
+    return T_ij.q, T_ij.t, jnp.sum(good), n_inl, dt, dr
+
+
 @dataclasses.dataclass
 class LoopClosure:
     """Record of an accepted loop closure."""
@@ -92,11 +156,15 @@ class LoopCloser:
                 mesh, self.bow_db, jnp.zeros((K,), bool))
         else:
             self._dist = None
-        self.kf_uv = np.zeros((K, F, 2), np.float32)
-        self.kf_desc = np.zeros((K, F, 8), np.uint32)
-        self.kf_kp_valid = np.zeros((K, F), bool)
-        self.kf_pc = np.zeros((K, F, 3), np.float32)   # keypoint 3D, camera frame
-        self.kf_pc_valid = np.zeros((K, F), bool)
+        # ORB keypoint/descriptor/3D store is DEVICE-resident like the BoW
+        # database: verification gathers two rows on device and returns only
+        # gate statistics (the reference keeps a host vector<KeyFrameLC> and
+        # re-touches full keyframes per candidate, vo_loopclosing.cpp:99-112).
+        self.kf_uv = jnp.zeros((K, F, 2), jnp.float32)
+        self.kf_desc = jnp.zeros((K, F, 8), jnp.uint32)
+        self.kf_kp_valid = jnp.zeros((K, F), bool)
+        self.kf_pc = jnp.zeros((K, F, 3), jnp.float32)  # keypoint 3D, camera frame
+        self.kf_pc_valid = jnp.zeros((K, F), bool)
         self.kf_frame_id = np.full(K, -1, np.int64)
         # Odometry (frontend) poses and PGO-corrected poses, as T_w_c.
         self.kf_T_wc_odom: list[SE3] = []
@@ -116,30 +184,18 @@ class LoopCloser:
             raise RuntimeError("loop-closer keyframe capacity exceeded")
         img_l = jnp.asarray(img_l)
         img_r = jnp.asarray(img_r)
-        uv, desc, kp_valid, _ = orb.detect_and_compute(
-            img_l, num_features=cfg.num_orb_features
-        )
         # Depth for ORB keypoints: rectified stereo LK (the reference's
         # stereo recovery, vo_loopclosing.cpp:262-351) or, in RGB-D mode,
         # a depth-image lookup (img_r is a depth image, not intensity —
         # running stereo LK against it would fabricate garbage depths).
-        if self.depth_mode:
-            z = imops.bilinear_sample(img_r, uv) / self.cam.depth_factor
-            d_ok = (z > 0.1) & (z < 100.0)
-        else:
-            pyr_l = imops.build_grad_pyramid(img_l, 3)
-            pyr_r = imops.build_grad_pyramid(img_r, 3)
-            guess = jnp.full(uv.shape[0], float(self.cam.fx * self.cam.baseline) / 4.0)
-            disp, d_ok = lk_ops.stereo_lk(pyr_l, pyr_r, uv, guess, kp_valid)
-            z = self.cam.fx * self.cam.baseline / jnp.maximum(disp, 1e-3)
-            d_ok = d_ok & (z > 0.1) & (z < 100.0)
-        p_c = cam_m.backproject(self.cam, uv, z)
+        uv, desc, kp_valid, p_c, pc_valid = _ingest(
+            img_l, img_r, self.cam, cfg.num_orb_features, self.depth_mode)
 
-        self.kf_uv[k] = np.asarray(uv)
-        self.kf_desc[k] = np.asarray(desc)
-        self.kf_kp_valid[k] = np.asarray(kp_valid)
-        self.kf_pc[k] = np.asarray(p_c)
-        self.kf_pc_valid[k] = np.asarray(d_ok & kp_valid)
+        (self.kf_uv, self.kf_desc, self.kf_kp_valid, self.kf_pc,
+         self.kf_pc_valid) = _store_set_rows(
+            self.kf_uv, self.kf_desc, self.kf_kp_valid, self.kf_pc,
+            self.kf_pc_valid, jnp.asarray(k, jnp.int32),
+            uv, desc, kp_valid, p_c, pc_valid)
         self.kf_frame_id[k] = frame_id
         self.kf_T_wc_odom.append(se3m.inverse(T_c_w_odom))
         # New nodes enter at their drift-corrected pose.
@@ -247,44 +303,29 @@ class LoopCloser:
         """Geometric check (isLoopClosureKF, 591-729): mutual ratio matching
         + PnP RANSAC + translation/rotation accept gates."""
         cfg = self.cfg
-        match_j, good = orb.mutual_ratio_match(
-            jnp.asarray(self.kf_desc[i]), jnp.asarray(self.kf_desc[j]),
-            jnp.asarray(self.kf_kp_valid[i] & self.kf_pc_valid[i]),
-            jnp.asarray(self.kf_kp_valid[j]),
-            ratio=cfg.ratio_max,
-        )
-        good_np = np.asarray(good)
-        n_match = int(good_np.sum())
+        # 3D from old KF i (world frame via its corrected node pose), 2D
+        # from j — matching, PnP RANSAC, and gate statistics all run as one
+        # device program over the resident store; only six scalars/vectors
+        # come back to the host for the accept decision.
+        q_ij, t_ij, n_match, n_inl, dt, dr = jax.device_get(_verify_device(
+            self.kf_desc, self.kf_kp_valid, self.kf_pc_valid, self.kf_pc,
+            self.kf_uv, jnp.asarray(i, jnp.int32), jnp.asarray(j, jnp.int32),
+            self.kf_T_wc[i].q, self.kf_T_wc[i].t,
+            self.kf_T_wc[j].q, self.kf_T_wc[j].t,
+            self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
+            jax.random.PRNGKey(i * 7919 + j),
+            cfg.ratio_max, 3.0 / float(self.cam.fx), num_hypotheses=128,
+        ))
+        n_match, n_inl = int(n_match), int(n_inl)
         if n_match < cfg.min_pts:
             return None
-        # 3D from old KF i (world frame via its corrected node pose), 2D from j.
-        T_wc_i = self.kf_T_wc[i]
-        pts_w = np.asarray(se3m.transform_points(T_wc_i, jnp.asarray(self.kf_pc[i])))
-        uv_j = self.kf_uv[j][np.asarray(match_j)]
-        xn = np.stack(
-            [
-                (uv_j[:, 0] - float(self.cam.cx)) / float(self.cam.fx),
-                (uv_j[:, 1] - float(self.cam.cy)) / float(self.cam.fy),
-            ],
-            axis=-1,
-        )
-        T_cj_w, inl, n_inl = pnp.pnp_ransac(
-            jax.random.PRNGKey(i * 7919 + j), jnp.asarray(pts_w), jnp.asarray(xn),
-            good, threshold_n=3.0 / float(self.cam.fx), num_hypotheses=128,
-        )
-        n_inl = int(n_inl)
         if n_inl < cfg.min_pts or n_inl < cfg.ratio_ransac * n_match:
             return None
-        T_wc_j_meas = se3m.inverse(T_cj_w)
         # Accept gates vs the current (drifted) estimate of j
         # (‖t‖ < 3 m, ‖log R‖ < 1.5 — vo_loopclosing.cpp:686).
-        delta = se3m.compose(se3m.inverse(self.kf_T_wc[j]), T_wc_j_meas)
-        dt = float(jnp.linalg.norm(delta.t))
-        dr = float(jnp.linalg.norm(so3.log(delta.q)))
-        if dt > cfg.max_trans or dr > cfg.max_rot:
+        if float(dt) > cfg.max_trans or float(dr) > cfg.max_rot:
             return None
-        T_ij = se3m.compose(se3m.inverse(T_wc_i), T_wc_j_meas)
-        lc = LoopClosure(i, j, n_inl, T_ij)
+        lc = LoopClosure(i, j, n_inl, SE3(jnp.asarray(q_ij), jnp.asarray(t_ij)))
         self.closures.append(lc)
         return lc
 

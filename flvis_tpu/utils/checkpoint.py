@@ -104,9 +104,11 @@ def save_loop_closer(path: str, lc) -> None:
     n = lc.count
     arrays = {
         "bow_db": np.asarray(lc.bow_db)[:n],
-        "kf_uv": lc.kf_uv[:n], "kf_desc": lc.kf_desc[:n],
-        "kf_kp_valid": lc.kf_kp_valid[:n], "kf_pc": lc.kf_pc[:n],
-        "kf_pc_valid": lc.kf_pc_valid[:n], "kf_frame_id": lc.kf_frame_id[:n],
+        "kf_uv": np.asarray(lc.kf_uv[:n]), "kf_desc": np.asarray(lc.kf_desc[:n]),
+        "kf_kp_valid": np.asarray(lc.kf_kp_valid[:n]),
+        "kf_pc": np.asarray(lc.kf_pc[:n]),
+        "kf_pc_valid": np.asarray(lc.kf_pc_valid[:n]),
+        "kf_frame_id": lc.kf_frame_id[:n],
         "T_wc_odom_q": np.stack([np.asarray(T.q) for T in lc.kf_T_wc_odom]) if n else np.zeros((0, 4)),
         "T_wc_odom_t": np.stack([np.asarray(T.t) for T in lc.kf_T_wc_odom]) if n else np.zeros((0, 3)),
         "T_wc_q": np.stack([np.asarray(T.q) for T in lc.kf_T_wc]) if n else np.zeros((0, 4)),
@@ -142,11 +144,11 @@ def load_loop_closer(path: str, lc) -> None:
     lc.count = n
     for i in range(n):
         lc._set_db_row(i, jnp.asarray(d["bow_db"][i]))
-    lc.kf_uv[:n] = d["kf_uv"]
-    lc.kf_desc[:n] = d["kf_desc"]
-    lc.kf_kp_valid[:n] = d["kf_kp_valid"]
-    lc.kf_pc[:n] = d["kf_pc"]
-    lc.kf_pc_valid[:n] = d["kf_pc_valid"]
+    lc.kf_uv = lc.kf_uv.at[:n].set(jnp.asarray(d["kf_uv"]))
+    lc.kf_desc = lc.kf_desc.at[:n].set(jnp.asarray(d["kf_desc"]))
+    lc.kf_kp_valid = lc.kf_kp_valid.at[:n].set(jnp.asarray(d["kf_kp_valid"]))
+    lc.kf_pc = lc.kf_pc.at[:n].set(jnp.asarray(d["kf_pc"]))
+    lc.kf_pc_valid = lc.kf_pc_valid.at[:n].set(jnp.asarray(d["kf_pc_valid"]))
     lc.kf_frame_id[:n] = d["kf_frame_id"]
     lc.kf_T_wc_odom = [SE3(jnp.asarray(d["T_wc_odom_q"][i]),
                            jnp.asarray(d["T_wc_odom_t"][i])) for i in range(n)]
