@@ -77,9 +77,20 @@ def _store_set_rows(uv_s, desc_s, kpv_s, pc_s, pcv_s, k,
             pc_s.at[k].set(pc), pcv_s.at[k].set(pcv))
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+def _pose_set_rows(q_odom_s, t_odom_s, q_s, t_s, k, Tcw_q, Tcw_t,
+                   Tmo_q, Tmo_t):
+    """Insert keyframe k's odometry pose (as T_w_c) and its drift-corrected
+    node pose T_map_odom ∘ T_w_c into the device pose tables."""
+    T_wc = se3m.inverse(SE3(Tcw_q, Tcw_t))
+    T_node = se3m.compose(SE3(Tmo_q, Tmo_t), T_wc)
+    return (q_odom_s.at[k].set(T_wc.q), t_odom_s.at[k].set(T_wc.t),
+            q_s.at[k].set(T_node.q), t_s.at[k].set(T_node.t))
+
+
 @functools.partial(jax.jit, static_argnames=("num_hypotheses",))
-def _verify_device(desc_s, kpv_s, pcv_s, pc_s, uv_s, i, j,
-                   Twi_q, Twi_t, Twj_q, Twj_t, fx, fy, cx, cy, key,
+def _verify_device(desc_s, kpv_s, pcv_s, pc_s, uv_s, node_q, node_t, i, j,
+                   fx, fy, cx, cy, key,
                    ratio, threshold_n, num_hypotheses: int):
     """Geometric loop verification as ONE device program over the resident
     store (isLoopClosureKF, vo_loopclosing.cpp:591-729): gather the two
@@ -93,7 +104,7 @@ def _verify_device(desc_s, kpv_s, pcv_s, pc_s, uv_s, i, j,
     valid_j = kpv_s[j]
     match_j, good = orb.mutual_ratio_match(
         desc_i, desc_j, valid_i, valid_j, ratio=ratio)
-    T_wc_i = SE3(Twi_q, Twi_t)
+    T_wc_i = SE3(node_q[i], node_t[i])
     pts_w = se3m.transform_points(T_wc_i, pc_s[i])
     uv_j = uv_s[j][match_j]
     xn = jnp.stack([(uv_j[:, 0] - cx) / fx, (uv_j[:, 1] - cy) / fy], axis=-1)
@@ -101,11 +112,76 @@ def _verify_device(desc_s, kpv_s, pcv_s, pc_s, uv_s, i, j,
         key, pts_w, xn, good, threshold_n=threshold_n,
         num_hypotheses=num_hypotheses)
     T_wc_j_meas = se3m.inverse(T_cj_w)
-    delta = se3m.compose(se3m.inverse(SE3(Twj_q, Twj_t)), T_wc_j_meas)
+    delta = se3m.compose(se3m.inverse(SE3(node_q[j], node_t[j])), T_wc_j_meas)
     dt = jnp.linalg.norm(delta.t)
     dr = jnp.linalg.norm(so3.log(delta.q))
     T_ij = se3m.compose(se3m.inverse(T_wc_i), T_wc_j_meas)
     return T_ij.q, T_ij.t, jnp.sum(good), n_inl, dt, dr
+
+
+@functools.partial(jax.jit, static_argnames=("n_pad", "n_succ"))
+def _build_graph(q_odom, t_odom, node_q, node_t, n,
+                 loop_i, loop_j, loop_q, loop_t, loop_valid,
+                 n_pad: int, n_succ: int):
+    """Assemble the PGO problem in ONE device program: nodes from the
+    corrected pose table, sequential odometry edges to n_succ successors
+    (weight 1/s) computed batched over the whole odometry table, plus
+    padded loop edges (weight 5).  Replaces a host loop of O(n·n_succ)
+    edge insertions (the reference builds its g2o graph edge-by-edge,
+    vo_loopclosing.cpp:834-875)."""
+    a = jnp.arange(n_pad)
+    loop_pad = loop_i.shape[0]
+    ei, ej, eq, et, ev, ew = [], [], [], [], [], []
+    Ta = SE3(q_odom[:n_pad], t_odom[:n_pad])
+    for s in range(1, n_succ + 1):
+        b = jnp.minimum(a + s, n_pad - 1)
+        rel = se3m.compose(se3m.inverse(Ta), SE3(q_odom[b], t_odom[b]))
+        ei.append(a.astype(jnp.int32))
+        ej.append(b.astype(jnp.int32))
+        eq.append(rel.q)
+        et.append(rel.t)
+        ev.append(a + s < n)
+        ew.append(jnp.full(n_pad, 1.0 / s, jnp.float32))
+    ei.append(loop_i); ej.append(loop_j); eq.append(loop_q); et.append(loop_t)
+    ev.append(loop_valid)
+    ew.append(jnp.full(loop_pad, 5.0, jnp.float32))
+    return pose_graph.PoseGraph(
+        node_q=node_q[:n_pad], node_t=node_t[:n_pad], node_valid=a < n,
+        edge_i=jnp.concatenate(ei), edge_j=jnp.concatenate(ej),
+        edge_q=jnp.concatenate(eq), edge_t=jnp.concatenate(et),
+        edge_valid=jnp.concatenate(ev), edge_weight=jnp.concatenate(ew))
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _apply_pgo(q_s, t_s, q_odom_s, t_odom_s, g_q, g_t, n):
+    """Write the optimized node poses back into the pose table (rows < n)
+    and recompute the map→odom drift transform from the latest keyframe
+    (corrected_latest ∘ odom_latest⁻¹ — the reference's tf map→odom,
+    vo_loopclosing.cpp:889-941)."""
+    n_pad = g_q.shape[0]
+    mask = (jnp.arange(n_pad) < n)[:, None]
+    q_s = q_s.at[:n_pad].set(jnp.where(mask, g_q, q_s[:n_pad]))
+    t_s = t_s.at[:n_pad].set(jnp.where(mask, g_t, t_s[:n_pad]))
+    last = n - 1
+    T_mo = se3m.compose(
+        SE3(q_s[last], t_s[last]),
+        se3m.inverse(SE3(q_odom_s[last], t_odom_s[last])))
+    return q_s, t_s, T_mo.q, T_mo.t
+
+
+class _PoseView:
+    """Indexable view of a (K, 4)/(K, 3) device pose table as SE3 rows —
+    keeps the `lc.kf_T_wc[i]` accessor API over the batched storage."""
+
+    def __init__(self, owner, q_name: str, t_name: str):
+        self._owner, self._q, self._t = owner, q_name, t_name
+
+    def __getitem__(self, i) -> SE3:
+        return SE3(getattr(self._owner, self._q)[i],
+                   getattr(self._owner, self._t)[i])
+
+    def __len__(self) -> int:
+        return self._owner.count
 
 
 @dataclasses.dataclass
@@ -166,13 +242,27 @@ class LoopCloser:
         self.kf_pc = jnp.zeros((K, F, 3), jnp.float32)  # keypoint 3D, camera frame
         self.kf_pc_valid = jnp.zeros((K, F), bool)
         self.kf_frame_id = np.full(K, -1, np.int64)
-        # Odometry (frontend) poses and PGO-corrected poses, as T_w_c.
-        self.kf_T_wc_odom: list[SE3] = []
-        self.kf_T_wc: list[SE3] = []
+        # Odometry (frontend) poses and PGO-corrected node poses, as T_w_c —
+        # batched (K, 4)/(K, 3) device tables (not per-KF Python objects:
+        # under a remote-dispatch backend every eager op on a scalar pose is
+        # a round trip, and PGO edge construction touches all of them).
+        self.kf_q_odom = jnp.tile(jnp.asarray([1.0, 0, 0, 0], jnp.float32), (K, 1))
+        self.kf_t_odom = jnp.zeros((K, 3), jnp.float32)
+        self.kf_q = jnp.tile(jnp.asarray([1.0, 0, 0, 0], jnp.float32), (K, 1))
+        self.kf_t = jnp.zeros((K, 3), jnp.float32)
         self.count = 0
         self.closures: list[LoopClosure] = []
         self.T_map_odom: SE3 = se3m.identity()   # drift: corrected ∘ odom⁻¹
         self._desc_buffer: list[np.ndarray] = []  # for on-the-fly vocab training
+
+    # SE3-row accessors over the batched pose tables (API compatibility).
+    @property
+    def kf_T_wc(self) -> _PoseView:
+        return _PoseView(self, "kf_q", "kf_t")
+
+    @property
+    def kf_T_wc_odom(self) -> _PoseView:
+        return _PoseView(self, "kf_q_odom", "kf_t_odom")
 
     # ------------------------------------------------------------------ add
     def add_keyframe(self, img_l, img_r, T_c_w_odom: SE3, frame_id: int):
@@ -197,9 +287,11 @@ class LoopCloser:
             self.kf_pc_valid, jnp.asarray(k, jnp.int32),
             uv, desc, kp_valid, p_c, pc_valid)
         self.kf_frame_id[k] = frame_id
-        self.kf_T_wc_odom.append(se3m.inverse(T_c_w_odom))
-        # New nodes enter at their drift-corrected pose.
-        self.kf_T_wc.append(se3m.compose(self.T_map_odom, se3m.inverse(T_c_w_odom)))
+        # New nodes enter at their drift-corrected pose (one device program).
+        (self.kf_q_odom, self.kf_t_odom, self.kf_q, self.kf_t) = _pose_set_rows(
+            self.kf_q_odom, self.kf_t_odom, self.kf_q, self.kf_t,
+            jnp.asarray(k, jnp.int32), T_c_w_odom.q, T_c_w_odom.t,
+            self.T_map_odom.q, self.T_map_odom.t)
         self._desc_buffer.append(np.asarray(desc)[np.asarray(kp_valid)])
 
         if self.vocab is None and k + 1 >= 8:
@@ -233,8 +325,8 @@ class LoopCloser:
         n = self.count
         np.savez(
             f"{self.dump_dir}/pose_graph_{tag}.npz",
-            node_q=np.stack([np.asarray(T.q) for T in self.kf_T_wc[:n]]),
-            node_t=np.stack([np.asarray(T.t) for T in self.kf_T_wc[:n]]),
+            node_q=np.asarray(self.kf_q[:n]),
+            node_t=np.asarray(self.kf_t[:n]),
             loops=np.asarray([[c.kf_i, c.kf_j, c.num_inliers]
                               for c in self.closures], np.int64),
         )
@@ -309,9 +401,8 @@ class LoopCloser:
         # come back to the host for the accept decision.
         q_ij, t_ij, n_match, n_inl, dt, dr = jax.device_get(_verify_device(
             self.kf_desc, self.kf_kp_valid, self.kf_pc_valid, self.kf_pc,
-            self.kf_uv, jnp.asarray(i, jnp.int32), jnp.asarray(j, jnp.int32),
-            self.kf_T_wc[i].q, self.kf_T_wc[i].t,
-            self.kf_T_wc[j].q, self.kf_T_wc[j].t,
+            self.kf_uv, self.kf_q, self.kf_t,
+            jnp.asarray(i, jnp.int32), jnp.asarray(j, jnp.int32),
             self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
             jax.random.PRNGKey(i * 7919 + j),
             cfg.ratio_max, 3.0 / float(self.cam.fx), num_hypotheses=128,
@@ -341,41 +432,26 @@ class LoopCloser:
         # Pad node/edge counts to power-of-2 buckets: pose_graph.optimize is
         # jitted per shape, and each XLA compile is expensive (remote-compile
         # tunnel) — bucketing bounds recompiles at O(log n) over a run.
-        n_pad = max(32, 1 << (n - 1).bit_length())
-        max_edges = cfg.seq_edge_successors * n_pad + 64
-        g = pose_graph.empty(n_pad, max_edges)
-        g = dataclasses.replace(
-            g,
-            node_q=g.node_q.at[:n].set(jnp.stack([T.q for T in self.kf_T_wc[:n]])),
-            node_t=g.node_t.at[:n].set(jnp.stack([T.t for T in self.kf_T_wc[:n]])),
-            node_valid=jnp.arange(n_pad) < n,
-        )
-        ei, ej, eq, et, ev, ew = [], [], [], [], [], []
-        for a in range(n):
-            for s in range(1, cfg.seq_edge_successors + 1):
-                b = a + s
-                if b >= n:
-                    break
-                rel = se3m.compose(
-                    se3m.inverse(self.kf_T_wc_odom[a]), self.kf_T_wc_odom[b]
-                )
-                ei.append(a); ej.append(b); eq.append(rel.q); et.append(rel.t)
-                ev.append(True); ew.append(1.0 / s)
-        for lc in self.closures:
-            ei.append(lc.kf_i); ej.append(lc.kf_j)
-            eq.append(lc.T_ij.q); et.append(lc.T_ij.t)
-            ev.append(True); ew.append(5.0)
-        E = g.edge_i.shape[0]
-        pad = E - len(ei)
-        g = dataclasses.replace(
-            g,
-            edge_i=jnp.asarray(ei + [0] * pad, jnp.int32),
-            edge_j=jnp.asarray(ej + [0] * pad, jnp.int32),
-            edge_q=jnp.concatenate([jnp.stack(eq), jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (max(pad, 0), 1))])[:E],
-            edge_t=jnp.concatenate([jnp.stack(et), jnp.zeros((max(pad, 0), 3))])[:E],
-            edge_valid=jnp.asarray(ev + [False] * pad),
-            edge_weight=jnp.asarray(ew + [1.0] * pad, jnp.float32),
-        )
+        n_pad = min(cfg.max_keyframes, max(32, 1 << (n - 1).bit_length()))
+        # Loop edges are few; pad to 64-slot buckets.
+        L = len(self.closures)
+        loop_pad = max(64, 64 * ((L + 63) // 64))
+        loop_i = np.zeros(loop_pad, np.int32)
+        loop_j = np.zeros(loop_pad, np.int32)
+        loop_q = np.tile(np.asarray([1.0, 0, 0, 0], np.float32), (loop_pad, 1))
+        loop_t = np.zeros((loop_pad, 3), np.float32)
+        loop_valid = np.zeros(loop_pad, bool)
+        for e, lc in enumerate(self.closures):
+            loop_i[e], loop_j[e] = lc.kf_i, lc.kf_j
+            loop_q[e] = np.asarray(lc.T_ij.q)
+            loop_t[e] = np.asarray(lc.T_ij.t)
+            loop_valid[e] = True
+        g = _build_graph(
+            self.kf_q_odom, self.kf_t_odom, self.kf_q, self.kf_t,
+            jnp.asarray(n, jnp.int32),
+            jnp.asarray(loop_i), jnp.asarray(loop_j), jnp.asarray(loop_q),
+            jnp.asarray(loop_t), jnp.asarray(loop_valid),
+            n_pad=n_pad, n_succ=cfg.seq_edge_successors)
         fixed = jnp.zeros(n_pad, bool).at[0].set(True)
         if self.dump_dir is not None:
             self._dump_graph(f"{self.count:05d}_before")
@@ -383,12 +459,17 @@ class LoopCloser:
             g = jax.device_put(g, self.pgo_device)
             fixed = jax.device_put(fixed, self.pgo_device)
         g2, _ = pose_graph.optimize(g, fixed, iters=min(cfg.pgo_iters, 30))
-        for idx in range(n):
-            self.kf_T_wc[idx] = SE3(g2.node_q[idx], g2.node_t[idx])
-        # Drift transform: corrected_latest ∘ odom_latest⁻¹ (tf map→odom).
-        self.T_map_odom = se3m.compose(
-            self.kf_T_wc[n - 1], se3m.inverse(self.kf_T_wc_odom[n - 1])
-        )
+        g2_q, g2_t = g2.node_q, g2.node_t
+        if self.pgo_device is not None:
+            # Bring the solved poses back next to the pose table.
+            g2_q = jax.device_put(g2_q, self.kf_q.sharding)
+            g2_t = jax.device_put(g2_t, self.kf_t.sharding)
+        # Write corrected poses back into the pose table and refresh the
+        # drift transform (tf map→odom) in one program.
+        (self.kf_q, self.kf_t, tmo_q, tmo_t) = _apply_pgo(
+            self.kf_q, self.kf_t, self.kf_q_odom, self.kf_t_odom,
+            g2_q, g2_t, jnp.asarray(n, jnp.int32))
+        self.T_map_odom = SE3(tmo_q, tmo_t)
         if self.dump_dir is not None:
             self._dump_graph(f"{self.count:05d}_after")
 

@@ -109,10 +109,10 @@ def save_loop_closer(path: str, lc) -> None:
         "kf_pc": np.asarray(lc.kf_pc[:n]),
         "kf_pc_valid": np.asarray(lc.kf_pc_valid[:n]),
         "kf_frame_id": lc.kf_frame_id[:n],
-        "T_wc_odom_q": np.stack([np.asarray(T.q) for T in lc.kf_T_wc_odom]) if n else np.zeros((0, 4)),
-        "T_wc_odom_t": np.stack([np.asarray(T.t) for T in lc.kf_T_wc_odom]) if n else np.zeros((0, 3)),
-        "T_wc_q": np.stack([np.asarray(T.q) for T in lc.kf_T_wc]) if n else np.zeros((0, 4)),
-        "T_wc_t": np.stack([np.asarray(T.t) for T in lc.kf_T_wc]) if n else np.zeros((0, 3)),
+        "T_wc_odom_q": np.asarray(lc.kf_q_odom[:n]),
+        "T_wc_odom_t": np.asarray(lc.kf_t_odom[:n]),
+        "T_wc_q": np.asarray(lc.kf_q[:n]),
+        "T_wc_t": np.asarray(lc.kf_t[:n]),
         "closures": np.asarray(
             [[c.kf_i, c.kf_j, c.num_inliers, *np.asarray(c.T_ij.q),
               *np.asarray(c.T_ij.t)] for c in lc.closures],
@@ -150,10 +150,10 @@ def load_loop_closer(path: str, lc) -> None:
     lc.kf_pc = lc.kf_pc.at[:n].set(jnp.asarray(d["kf_pc"]))
     lc.kf_pc_valid = lc.kf_pc_valid.at[:n].set(jnp.asarray(d["kf_pc_valid"]))
     lc.kf_frame_id[:n] = d["kf_frame_id"]
-    lc.kf_T_wc_odom = [SE3(jnp.asarray(d["T_wc_odom_q"][i]),
-                           jnp.asarray(d["T_wc_odom_t"][i])) for i in range(n)]
-    lc.kf_T_wc = [SE3(jnp.asarray(d["T_wc_q"][i]), jnp.asarray(d["T_wc_t"][i]))
-                  for i in range(n)]
+    lc.kf_q_odom = lc.kf_q_odom.at[:n].set(jnp.asarray(d["T_wc_odom_q"]))
+    lc.kf_t_odom = lc.kf_t_odom.at[:n].set(jnp.asarray(d["T_wc_odom_t"]))
+    lc.kf_q = lc.kf_q.at[:n].set(jnp.asarray(d["T_wc_q"]))
+    lc.kf_t = lc.kf_t.at[:n].set(jnp.asarray(d["T_wc_t"]))
     lc.closures = [
         LoopClosure(int(r[0]), int(r[1]), int(r[2]),
                     SE3(jnp.asarray(r[3:7], jnp.float32),
