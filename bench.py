@@ -15,6 +15,11 @@ The measured step is the FULL jitted frontend program at EuRoC resolution
 pyramidal LK (temporal + stereo depth), fundamental RANSAC, motion-only BA,
 MAD gating, grid redetection, and depth-innovation fusion.  Host→device
 image transfer is included (it is part of the real pipeline).
+
+Synchronization: on the remote-TPU (axon) backend jax.block_until_ready can
+return before the device has finished; every timed region therefore ends
+with utils.timing.sync(), which fetches a value data-dependent on the
+result — the only honest barrier (see utils/timing.py).
 """
 
 import json
@@ -31,6 +36,7 @@ def main():
     from flvis_tpu.frontend import tracker
     from flvis_tpu.geometry import camera
     from flvis_tpu.io.synthetic import PlanarScene, SceneConfig, orbit_trajectory
+    from flvis_tpu.utils.timing import sync
 
     dev = jax.devices()[0]
 
@@ -56,13 +62,13 @@ def main():
     # Warmup / compile.
     for i in range(3):
         state, out = tracker.track_frame(cfg, cam, state, *imgs[i % len(imgs)])
-    jax.block_until_ready(state)
+    sync(state)
 
-    n_iters = 60
+    n_iters = 12
     t0 = time.perf_counter()
     for i in range(n_iters):
         state, out = tracker.track_frame(cfg, cam, state, *imgs[i % len(imgs)])
-    jax.block_until_ready(state)
+    sync(state)
     elapsed = time.perf_counter() - t0
 
     fps = n_iters / elapsed
@@ -75,12 +81,12 @@ def main():
     imgs1_chunk = jnp.stack([imgs[i % len(imgs)][1] for i in range(CHUNK)])
     sstate = jax.device_put(tracker.init_state(cfg), dev)
     sstate, _ = tracker.track_frames_scan(cfg, cam, sstate, imgs0_chunk, imgs1_chunk)
-    jax.block_until_ready(sstate)
-    n_chunks = 8
+    sync(sstate)
+    n_chunks = 3
     t0 = time.perf_counter()
     for _ in range(n_chunks):
         sstate, _ = tracker.track_frames_scan(cfg, cam, sstate, imgs0_chunk, imgs1_chunk)
-    jax.block_until_ready(sstate)
+    sync(sstate)
     scan_fps = n_chunks * CHUNK / (time.perf_counter() - t0)
 
     # --- sliding-window BA solve time (ms/keyframe) -------------------------
@@ -112,12 +118,12 @@ def main():
             lm_mask=jnp.ones(600, bool))
         st = window_ba.add_keyframe(bcfg, st, pkt)
     res = window_ba.optimize(bcfg, cam, st)
-    jax.block_until_ready(res.state)
-    n_ba = 20
+    sync(res.state)
+    n_ba = 10
     t0 = time.perf_counter()
     for _ in range(n_ba):
         res = window_ba.optimize(bcfg, cam, st)
-    jax.block_until_ready(res.state)
+    sync(res.state)
     ba_ms = 1000.0 * (time.perf_counter() - t0) / n_ba
 
     # --- batched multi-sequence throughput (16 sequences, one chip) ---------
@@ -135,12 +141,12 @@ def main():
     keys = jax.random.split(jax.random.PRNGKey(0), S)
     for _ in range(3):
         mstates, _ = multiseq.track_frame_batch(cfg, cams, mstates, i0, i1, keys)
-    jax.block_until_ready(mstates)
-    n_b = 30
+    sync(mstates)
+    n_b = 4
     t0 = time.perf_counter()
     for _ in range(n_b):
         mstates, _ = multiseq.track_frame_batch(cfg, cams, mstates, i0, i1, keys)
-    jax.block_until_ready(mstates)
+    sync(mstates)
     agg_fps = n_b * S / (time.perf_counter() - t0)
 
     # --- vmap × scan: S sequences × T frames in one device program ----------
@@ -151,12 +157,12 @@ def main():
                                 for t in range(Tn)]) for s in range(S)])
     vstates = multiseq.init_states(cfg, S)
     vstates, _ = multiseq.track_frames_scan_batch(cfg, cams, vstates, i0s, i1s)
-    jax.block_until_ready(vstates)
-    n_v = 6
+    sync(vstates)
+    n_v = 2
     t0 = time.perf_counter()
     for _ in range(n_v):
         vstates, _ = multiseq.track_frames_scan_batch(cfg, cams, vstates, i0s, i1s)
-    jax.block_until_ready(vstates)
+    sync(vstates)
     vmap_scan_fps = n_v * S * Tn / (time.perf_counter() - t0)
 
     baseline = 30.0
