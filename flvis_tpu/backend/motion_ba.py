@@ -68,6 +68,40 @@ def _huber_weight(r2, delta):
     return jnp.where(r <= delta, 1.0, delta / r)
 
 
+def _qr_solve6(A, b):
+    """Least-squares solve of a tall (M, 6) system via unrolled CGS2 QR.
+
+    jnp.linalg.lstsq lowers to an iterative SVD on TPU — far too slow for a
+    6-column system inside the per-frame loop.  Classical Gram-Schmidt with
+    one reorthogonalization pass is 6 statically-unrolled column steps of
+    pure VPU dot products, and its loss of orthogonality is O(eps·cond(A)),
+    equivalent to Householder for the conditioning this solver faces
+    (cond(J) ≲ 1e3 by design — see the damping note below)."""
+    q_cols = []
+    r_rows = []
+    for j in range(6):
+        v = A[:, j]
+        rj = jnp.zeros((6,), A.dtype)
+        for _ in range(2):  # CGS2: second pass removes f32 projection residue
+            for i, qi in enumerate(q_cols):
+                c = jnp.dot(qi, v, precision="highest")
+                rj = rj.at[i].add(c)
+                v = v - c * qi
+        nrm = jnp.sqrt(jnp.maximum(jnp.dot(v, v, precision="highest"), 1e-20))
+        rj = rj.at[j].set(nrm)
+        q_cols.append(v / nrm)
+        r_rows.append(rj)
+    Q = jnp.stack(q_cols, axis=1)                      # (M, 6)
+    R = jnp.stack(r_rows, axis=1)                      # (6, 6) upper-triangular
+    # (r_rows[j] holds column j's projections onto q_0..q_j, i.e. R[:, j].)
+    y = Q.T @ b
+    # Back-substitution, unrolled.
+    x = jnp.zeros((6,), A.dtype)
+    for j in range(5, -1, -1):
+        x = x.at[j].set((y[j] - jnp.dot(R[j], x)) / R[j, j])
+    return x
+
+
 def _lm_iterations(cam, T, pts_w, uv_obs, active, iters: int, huber_delta, lam0):
     def cost_of(T):
         p_c = se3m.transform_points(T, pts_w)
@@ -100,7 +134,7 @@ def _lm_iterations(cam, T, pts_w, uv_obs, active, iters: int, huber_delta, lam0)
         col = jnp.sqrt(lam * jnp.sum(Jw * Jw, axis=0) + 1e-12)
         A = jnp.concatenate([Jw, jnp.diag(col)], axis=0)
         rhs = jnp.concatenate([-rw, jnp.zeros(6, rw.dtype)])
-        dx = jnp.linalg.lstsq(A, rhs)[0]
+        dx = _qr_solve6(A, rhs)
         T_new = se3m.retract_left(T, dx)
         new_cost, _ = cost_of(T_new)
         better = new_cost < cost

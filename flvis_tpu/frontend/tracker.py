@@ -173,16 +173,16 @@ def _measure_depth(cfg: FrontendConfig, cam: StereoCamera, pyr0, pyr1, d_img,
     xn0 = cam_m.unit_ray(cam, table.obs0_uv)[:, :2]
     xn1 = cam_m.unit_ray(cam, table.uv)[:, :2]
     # First argument = CURRENT pose so the returned points are in the
-    # current camera frame (triangulate_from_views returns pts_c of its
-    # first view).
-    pts_c1, tri_valid = triangulation.triangulate_from_views(
+    # current camera frame; poses pair 1:1 with the per-landmark
+    # first-observation poses (closed-form midpoint — no per-point eigh).
+    pts_c1, tri_valid = triangulation.triangulate_midpoint(
         SE3(jnp.broadcast_to(T_c_w.q, T0.q.shape),
             jnp.broadcast_to(T_c_w.t, T0.t.shape)), T0,
-        xn1[:, None, :], xn0[:, None, :],
+        xn1, xn0,
         range_max=cfg.depth_max, range_min=cfg.depth_min,
     )
-    z_tri = pts_c1[:, 0, 2]
-    tri_ok = (tri_valid[:, 0] & table.active & (base >= cfg.tri_min_baseline)
+    z_tri = pts_c1[:, 2]
+    tri_ok = (tri_valid & table.active & (base >= cfg.tri_min_baseline)
               & ~ok)
     z = jnp.where(tri_ok, z_tri, z)
     # stereo_ok separately: triangulated depths derive their scale from the
@@ -351,16 +351,20 @@ def _track_branch(cfg: FrontendConfig, cam: StereoCamera, state: TrackerState,
             min_points=cfg.min_inliers,
         )
 
-    ba_a = run_ba(T_prior)
-    ba_b = run_ba(T_prior_b)
+    # Both starts run as ONE vmapped LM program (batch=2): the LM loop is
+    # latency-bound (a chain of small ops), so batching the starts costs
+    # nothing on the VPU but halves the sequential op chain.
+    T0s = jax.tree.map(lambda a, b: jnp.stack([a, b]), T_prior, T_prior_b)
+    ba_pair = jax.vmap(run_ba)(T0s)
 
     def mean_err(T):
         r = cam_m.project_world(cam, T, table.p_w) - uv_new
         rn = jnp.linalg.norm(r, axis=-1)
         return jnp.sum(jnp.where(ba_mask, jnp.minimum(rn, 5.0), 0.0)) /             jnp.maximum(jnp.sum(ba_mask), 1)
 
-    use_b = mean_err(ba_b.T_c_w) < mean_err(ba_a.T_c_w)
-    ba = jax.tree.map(lambda a, b: jnp.where(use_b, b, a), ba_a, ba_b)
+    errs = jax.vmap(mean_err)(ba_pair.T_c_w)
+    use_b = errs[1] < errs[0]
+    ba = jax.tree.map(lambda x: jnp.where(use_b, x[1], x[0]), ba_pair)
     T_new = ba.T_c_w
 
     # --- STEP4: median+MAD reprojection gate --------------------------------
@@ -445,23 +449,30 @@ def track_frame(cfg: FrontendConfig, cam: StereoCamera, state: TrackerState,
     if rng_key is None:
         rng_key = jax.random.fold_in(jax.random.PRNGKey(7), state.frame_id)
 
-    if cfg.equalize:
-        # Both stereo images must be equalized identically or the left→right
-        # LK loses brightness constancy (the reference equalizes the full
-        # frame pair, f2f_tracking.cpp:127-148).  Depth images are never
-        # intensity data and are left untouched.
-        img0 = imops.equalize_hist(img0)
-        if not cfg.depth_mode:
-            img1 = imops.equalize_hist(img1)
     # Gradient pyramids are built once per image and reused by the temporal
     # LK (prev frame's, cached in state), the stereo forward pass and the
     # stereo backward check.  In depth mode img1 is the raw depth image and
-    # needs no pyramid.
-    pyr0 = imops.build_grad_pyramid(img0, cfg.pyramid_levels)
+    # needs no pyramid.  The stereo pair is stacked so equalization, the
+    # separable filters and the decimations each run as ONE fused VPU pass
+    # over both images — sequential per-op dispatch latency, not FLOPs, is
+    # the frontend's cost model on TPU.
     if cfg.depth_mode:
+        if cfg.equalize:
+            # Depth images are never intensity data and are left untouched.
+            img0 = imops.equalize_hist(img0)
+        pyr0 = imops.build_grad_pyramid(img0, cfg.pyramid_levels)
         pyr1, d_img = None, img1
     else:
-        pyr1, d_img = imops.build_grad_pyramid(img1, cfg.pyramid_levels), None
+        pair = jnp.stack([img0, img1])
+        if cfg.equalize:
+            # Each image gets its own histogram (cv::equalizeHist semantics,
+            # applied to the pair as the reference does,
+            # f2f_tracking.cpp:127-148).
+            pair = imops.equalize_hist(pair)
+        both = imops.build_grad_pyramid(pair, cfg.pyramid_levels)
+        pyr0 = tuple((im[0], gx[0], gy[0]) for im, gx, gy in both)
+        pyr1 = tuple((im[1], gx[1], gy[1]) for im, gx, gy in both)
+        d_img = None
 
     if use_prior and prior_T is not None:
         T_pred = prior_T

@@ -82,6 +82,53 @@ def triangulate_from_views(T_c0_w: SE3, T_c1_w: SE3, xn0, xn1, range_max=10.0, r
     return pts_c0, valid
 
 
+def triangulate_midpoint(T_c0_w: SE3, T_c1_w: SE3, xn0, xn1,
+                         range_max=10.0, range_min=0.1):
+    """Closed-form two-ray midpoint triangulation.
+
+    Same contract as triangulate_from_views (pts in the FIRST camera's
+    frame, cheirality+range validity) but solves the 2x2 closest-point
+    system between the two viewing rays instead of the 4x4 DLT
+    eigendecomposition — the eigh lowers to an iterative algorithm on TPU
+    and dominated the hot path; the midpoint form is a handful of fused
+    elementwise ops with equivalent accuracy for well-conditioned two-view
+    geometry (degenerate near-parallel rays are gated out either way).
+
+    Unlike triangulate_from_views, poses and rays pair 1:1 — xn* is
+    (..., 2) and T_* broadcasts elementwise against its batch dims (the
+    tracker passes one first-observation pose PER landmark; routing that
+    through the (pose-batch × point) DLT wrapper silently outer-broadcast
+    to N×N and returned every slot the depth of landmark 0).
+    """
+    ones = jnp.ones(xn0.shape[:-1] + (1,), xn0.dtype)
+    h0 = jnp.concatenate([xn0, ones], axis=-1)          # (..., 3)
+    h1 = jnp.concatenate([xn1, ones], axis=-1)
+    q0c = so3.conj(T_c0_w.q)
+    q1c = so3.conj(T_c1_w.q)
+    C0 = -so3.rotate(q0c, T_c0_w.t)                     # (..., 3) camera centres
+    C1 = -so3.rotate(q1c, T_c1_w.t)
+    u0 = so3.rotate(q0c, h0)                            # (..., 3) world rays
+    u1 = so3.rotate(q1c, h1)
+    w = C1 - C0
+
+    a00 = jnp.sum(u0 * u0, -1)
+    a01 = jnp.sum(u0 * u1, -1)
+    a11 = jnp.sum(u1 * u1, -1)
+    b0 = jnp.sum(u0 * w, -1)
+    b1 = jnp.sum(u1 * w, -1)
+    det = a00 * a11 - a01 * a01
+    det_safe = jnp.where(det < 1e-12, 1.0, det)
+    a = (a11 * b0 - a01 * b1) / det_safe                # depth along ray 0
+    b = (a01 * b0 - a00 * b1) / det_safe                # depth along ray 1
+    P = 0.5 * (C0 + a[..., None] * u0 + C1 + b[..., None] * u1)
+    pts_c0 = so3.rotate(T_c0_w.q, P) + T_c0_w.t
+    z0 = pts_c0[..., 2]
+    # Non-degeneracy: rays must not be parallel (sin² of the angle).
+    cond_ok = det > 1e-6 * a00 * a11
+    valid = cond_ok & (a > 0.0) & (b > 0.0) & (z0 > range_min) & (z0 < range_max)
+    return pts_c0, valid
+
+
 def stereo_rectified_depth(fx, baseline, u_left, u_right):
     """Closed-form depth for rectified stereo: z = fx·b / (uL − uR).
 

@@ -22,7 +22,9 @@ _PYR_K = np.asarray([1.0, 4.0, 6.0, 4.0, 1.0], np.float32) / 16.0
 
 
 def _sep_filter(img, kx, ky):
-    """Separable 2D filter with edge-replicate padding, (H, W) → (H, W).
+    """Separable 2D filter with edge-replicate padding over the last two
+    dims, (..., H, W) → (..., H, W).  Leading dims batch — the tracker
+    stacks the stereo pair so both images ride one fused pass.
 
     Implemented as shift-and-add over statically-sliced views rather than
     lax.conv: single-channel convolutions lower very poorly on TPU (no MXU
@@ -31,19 +33,20 @@ def _sep_filter(img, kx, ky):
     """
     rx = int(kx.shape[0]) // 2
     ry = int(ky.shape[0]) // 2
-    h, w = img.shape
+    h, w = img.shape[-2:]
+    nb = img.ndim - 2
     kxv = [float(v) for v in np.asarray(kx)]
     kyv = [float(v) for v in np.asarray(ky)]
 
-    p = jnp.pad(img, ((0, 0), (rx, rx)), mode="edge")
+    p = jnp.pad(img, ((0, 0),) * nb + ((0, 0), (rx, rx)), mode="edge")
     acc = None
     for i, wgt in enumerate(kxv):
-        term = p[:, i:i + w] * wgt
+        term = p[..., :, i:i + w] * wgt
         acc = term if acc is None else acc + term
-    p = jnp.pad(acc, ((ry, ry), (0, 0)), mode="edge")
+    p = jnp.pad(acc, ((0, 0),) * nb + ((ry, ry), (0, 0)), mode="edge")
     acc = None
     for i, wgt in enumerate(kyv):
-        term = p[i:i + h, :] * wgt
+        term = p[..., i:i + h, :] * wgt
         acc = term if acc is None else acc + term
     return acc
 
@@ -51,7 +54,7 @@ def _sep_filter(img, kx, ky):
 def pyr_down(img):
     """Gaussian blur + 2× decimation (cv::pyrDown equivalent)."""
     blurred = _sep_filter(img, _PYR_K, _PYR_K)
-    return blurred[::2, ::2]
+    return blurred[..., ::2, ::2]
 
 
 def build_pyramid(img, num_levels: int):
@@ -173,17 +176,106 @@ def extract_patches(img, centers, radius: int):
     )
 
 
+def _use_pallas_gather() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _gather_blocks(padded, cx, cy, size: int):
+    """(N,) int32 padded-space corners → per-point blocks from `padded`
+    ((H, W) → (N, size, size); (C, H, W) → (N, C, size, size)).
+
+    TPU: one Pallas program with pipelined per-point DMAs.  Other backends:
+    vmap of dynamic_slice (fine on CPU, pathological on TPU — each slice
+    becomes a scalar-core-sequenced program)."""
+    if _use_pallas_gather():
+        from .pallas.gather import gather_windows
+
+        return gather_windows(padded, jnp.stack([cx, cy], -1), size)
+    if padded.ndim == 2:
+        return jax.vmap(
+            lambda yy, xx: jax.lax.dynamic_slice(padded, (yy, xx), (size, size))
+        )(cy, cx)
+    c = padded.shape[0]
+    return jax.vmap(
+        lambda yy, xx: jax.lax.dynamic_slice(padded, (0, yy, xx), (c, size, size))
+    )(cy, cx)
+
+
+def extract_patches_multi(stack, centers, radius: int):
+    """Multi-channel extract_patches: ONE block gather per point for all
+    channels (a (C, S+1, S+1) block), instead of C separate gather passes.
+
+    Args:
+      stack: (C, H, W) channel-stacked image (e.g. img/gx/gy).
+      centers: (N, 2) [x, y] subpixel centers.
+      radius: patch half-size.
+    Returns: (N, C, S, S), S = 2*radius+1.
+    """
+    c, h, w = stack.shape
+    s = 2 * radius + 1
+    pad = radius + 2
+    sp = jnp.pad(stack, ((0, 0), (pad, pad), (pad, pad)), mode="edge")
+    x = jnp.clip(centers[:, 0], -1.0, w * 1.0)
+    y = jnp.clip(centers[:, 1], -1.0, h * 1.0)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[:, None, None, None]
+    fy = (y - y0)[:, None, None, None]
+    xi = x0.astype(jnp.int32) - radius + pad
+    yi = y0.astype(jnp.int32) - radius + pad
+    P = _gather_blocks(sp, xi, yi, s + 1)  # (N, C, S+1, S+1)
+    return (
+        P[:, :, :-1, :-1] * (1 - fx) * (1 - fy)
+        + P[:, :, :-1, 1:] * fx * (1 - fy)
+        + P[:, :, 1:, :-1] * (1 - fx) * fy
+        + P[:, :, 1:, 1:] * fx * fy
+    )
+
+
+def extract_windows(img, corners, window: int):
+    """Integer-aligned square windows: one block gather per point from the
+    edge-padded image.  corners are INTEGER top-left image coords (may be
+    negative — edge padding absorbs out-of-image parts).
+
+    Returns (windows (N, window, window), corners_eff (N, 2)) where
+    corners_eff are the possibly-clamped top-left coords actually used —
+    sample positions must be taken relative to these.  Used by the LK
+    search-window scheme: gather the window ONCE, then every Gauss-Newton
+    iteration samples inside it with bilinear selection matmuls instead of
+    new gathers (ops/lk.py).
+    """
+    h, w = img.shape
+    pad = window  # enough for any clamped corner
+    ip = jnp.pad(img, pad, mode="edge")
+    cx = jnp.clip(corners[:, 0].astype(jnp.int32), -pad, w)
+    cy = jnp.clip(corners[:, 1].astype(jnp.int32), -pad, h)
+    wins = _gather_blocks(ip, cx + pad, cy + pad, window)
+    return wins, jnp.stack([cx, cy], axis=-1)
+
+
 def equalize_hist(img, num_bins: int = 256):
     """Global histogram equalization (cv::equalizeHist equivalent, used when
     the YAML blur gate triggers, /root/reference/src/frontend/
-    f2f_tracking.cpp:127-148)."""
-    flat = jnp.clip(img.reshape(-1), 0.0, 255.0)
-    hist = jnp.zeros(num_bins).at[flat.astype(jnp.int32)].add(1.0)
-    cdf = jnp.cumsum(hist)
-    cdf_min = cdf[jnp.argmax(cdf > 0)]
-    denom = jnp.maximum(cdf[-1] - cdf_min, 1.0)
+    f2f_tracking.cpp:127-148).
+
+    TPU note: both the histogram and the LUT application are fused
+    broadcast-compare reductions (per-pixel one-hot against the 256 bins),
+    not scatter-add / gather — per-element scatters and small-table gathers
+    serialize on the scalar core while compare+select+reduce is pure VPU
+    throughput.
+
+    The last two dims are the image; leading dims batch with an independent
+    histogram each (the tracker stacks the stereo pair into one call)."""
+    idx = jnp.clip(img, 0.0, 255.0).astype(jnp.int32)
+    bins = jnp.arange(num_bins, dtype=jnp.int32)
+    onehot = idx[..., None] == bins                     # fused into both reduces
+    hist = jnp.sum(onehot, axis=(-3, -2), dtype=jnp.float32)   # (..., bins)
+    cdf = jnp.cumsum(hist, axis=-1)
+    first = jnp.argmax(cdf > 0, axis=-1)[..., None]
+    cdf_min = jnp.take_along_axis(cdf, first, axis=-1)         # (..., 1)
+    denom = jnp.maximum(cdf[..., -1:] - cdf_min, 1.0)
     lut = jnp.clip((cdf - cdf_min) / denom * 255.0, 0.0, 255.0)
-    return lut[flat.astype(jnp.int32)].reshape(img.shape)
+    return jnp.sum(onehot * lut[..., None, None, :], axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("sigma", "ksize"))

@@ -33,24 +33,53 @@ class LKParams:
     iters: int = 10           # GN iterations per level
     min_eig: float = 1e-4     # min eigenvalue of H per pixel (OpenCV default)
     eps: float = 0.01         # convergence threshold on |delta| (OpenCV default)
+    search_margin: int = 8    # px the flow may drift within one level's window
+
+
+def _selection(rel, size: int, width: int):
+    """Bilinear row/column selection matrices, (N, size, width).
+
+    rel: (N,) float coordinate of patch element 0 inside the window.  Row i
+    of the result has weight (1-f) at column floor(rel)+i and f at +i+1 —
+    so S @ win (resp. win @ Sᵀ) bilinearly samples `size` consecutive
+    rows (columns) at subpixel offset rel.  Replaces per-iteration patch
+    gathers with MXU matmuls (gathers serialize on the scalar core; these
+    are the dominant frontend cost otherwise).
+    """
+    rel = jnp.clip(rel, 0.0, width - size - 1 - 1e-4)
+    r0 = jnp.floor(rel)
+    f = (rel - r0)[:, None, None]
+    idx = r0.astype(jnp.int32)[:, None] + jnp.arange(size)[None, :]  # (N, size)
+    cols = jnp.arange(width)[None, None, :]
+    hit0 = (cols == idx[:, :, None]).astype(jnp.float32)
+    hit1 = (cols == (idx + 1)[:, :, None]).astype(jnp.float32)
+    return hit0 * (1.0 - f) + hit1 * f
 
 
 def _track_level(img_prev, grad_x, grad_y, img_next, pts_prev, flow, valid, p: LKParams):
     """One pyramid level of LK. flow is the current displacement estimate.
+
+    TPU design: the per-point search window of img_next is gathered ONCE
+    (one dynamic_slice block per point); every Gauss-Newton iteration then
+    samples the current patch INSIDE that window with bilinear selection
+    matmuls (pure MXU/VPU work, no gathers).  The flow therefore cannot
+    drift more than `search_margin` px within one level — larger motion is
+    the coarser levels' job, matching pyramidal LK semantics.
 
     Patches that straddle a level border use edge-replicated pixels (see
     extract_patches) — degraded but directionally useful, matching OpenCV's
     border handling; points are only bounds-culled at the finest level.
     """
     r = p.radius
+    m = p.search_margin
+    s = 2 * r + 1
+    wd = s + 2 * m + 2  # window side: patch + drift margin + bilinear tap
     n = pts_prev.shape[0]
 
-    # Template patch + its gradients in ONE batched extraction: vmap the
-    # patch gather over a stacked (3, H, W) channel array — one fused gather
-    # instead of three.
+    # Template patch + its gradients in ONE batched block gather per point.
     stacked = jnp.stack([img_prev, grad_x, grad_y])
-    tgg = jax.vmap(lambda im: imops.extract_patches(im, pts_prev, r))(stacked)
-    t_patch, gx, gy = tgg[0], tgg[1], tgg[2]             # (N, S, S) each
+    tgg = imops.extract_patches_multi(stacked, pts_prev, r)
+    t_patch, gx, gy = tgg[:, 0], tgg[:, 1], tgg[:, 2]    # (N, S, S) each
 
     # 2x2 structure tensor per point (constant across iterations).
     G = jnp.stack([gx.reshape(n, -1), gy.reshape(n, -1)], axis=-1)  # (N, S², 2)
@@ -65,16 +94,40 @@ def _track_level(img_prev, grad_x, grad_y, img_next, pts_prev, flow, valid, p: L
     det_safe = jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
     t_flat = t_patch.reshape(n, -1)
 
+    # Search window around the initial position, gathered once.
+    pos0 = pts_prev + flow
+    corner = jnp.floor(pos0) - (r + m)
+    win, corner = imops.extract_windows(img_next, corner, wd)  # (N, wd, wd)
+    corner = corner.astype(flow.dtype)
+
+    def sample(flow):
+        # Patch element (0,0) sits at pos - r relative to the window corner.
+        rel = pts_prev + flow - corner - r
+        Sy = _selection(rel[:, 1], s, wd)
+        Sx = _selection(rel[:, 0], s, wd)
+        rows = jnp.einsum("niy,nyx->nix", Sy, win, precision="highest")
+        return jnp.einsum("nix,njx->nij", rows, Sx, precision="highest")
+
+    # Keep the flow inside the sampled window (mirrors the clamp in sample).
+    pos_lo = corner + r
+    pos_hi = corner + wd - r - 2
+
+    def clamp_flow(flow):
+        pos = jnp.clip(pts_prev + flow, pos_lo, pos_hi)
+        return pos - pts_prev
+
+    flow = clamp_flow(flow)
+
     def body(_, carry):
         flow, converged = carry
-        cur = imops.extract_patches(img_next, pts_prev + flow, r)
+        cur = sample(flow)
         e = cur.reshape(n, -1) - t_flat
         b = jnp.einsum("ns,nsk->nk", e, G)               # (N, 2)
         dx = (a22 * b[:, 0] - a12 * b[:, 1]) / det_safe
         dy = (a11 * b[:, 1] - a12 * b[:, 0]) / det_safe
         delta = jnp.stack([-dx, -dy], axis=-1)
         step_ok = update_ok & ~converged
-        flow = jnp.where(step_ok[:, None], flow + delta, flow)
+        flow = jnp.where(step_ok[:, None], clamp_flow(flow + delta), flow)
         converged = converged | (jnp.sum(delta * delta, axis=-1) < p.eps * p.eps)
         return flow, converged
 

@@ -47,6 +47,50 @@ def _hartley_normalize(pts, valid):
     return (pts - mean) * scale, T
 
 
+def _null9(A):
+    """Unit null vector of each (8, 9) minimal system, batched: (M, 8, 9) →
+    (M, 9).
+
+    Orthonormalizes the 8 rows with statically-unrolled CGS2 and returns the
+    best-conditioned residual column of I − QᵀQ — exact null-space
+    extraction from pure batched dots/matmuls.  Replaces a batched 9×9
+    jnp.linalg.eigh, which lowers to an iterative eigensolver on TPU and
+    dominated the RANSAC gate's cost."""
+    qs = []
+    for j in range(8):
+        v = A[:, j, :]
+        for _ in range(2):
+            for qi in qs:
+                v = v - jnp.sum(qi * v, -1, keepdims=True) * qi
+        n2 = jnp.sum(v * v, -1, keepdims=True)
+        # Degenerate samples (rank < 8): drop the dependent row; the null
+        # space is then >1-dimensional and any orthogonal vector serves.
+        v = jnp.where(n2 > 1e-16, v / jnp.sqrt(jnp.maximum(n2, 1e-20)), 0.0)
+        qs.append(v)
+    Q = jnp.stack(qs, axis=1)                                   # (M, 8, 9)
+    P = jnp.eye(9) - jnp.einsum("mkj,mkl->mjl", Q, Q, precision="highest")
+    # Column with the largest residual norm² (= diagonal of the projector).
+    diag = jnp.diagonal(P, axis1=-2, axis2=-1)
+    pick = jax.nn.one_hot(jnp.argmax(diag, axis=-1), 9, dtype=P.dtype)
+    h = jnp.einsum("mjl,ml->mj", P, pick)
+    return h / jnp.linalg.norm(h, axis=-1, keepdims=True).clip(1e-12)
+
+
+def _rank2_project(F):
+    """Nearest rank-2 matrix: F(I − v₃v₃ᵀ) with v₃ the smallest right
+    singular vector, found by shifted power iteration on FᵀF — replaces a
+    batched 3×3 SVD (iterative lowering on TPU)."""
+    G = jnp.einsum("mji,mjk->mik", F, F, precision="highest")   # FᵀF, (M,3,3)
+    sigma = jnp.trace(G, axis1=-2, axis2=-1)[:, None, None]
+    B = sigma * jnp.eye(3) - G
+    v = jnp.full((F.shape[0], 3), 1.0 / jnp.sqrt(3.0), F.dtype)
+    v = v.at[:, 1].add(1e-3).at[:, 2].add(-2e-3)  # break symmetry
+    for _ in range(12):
+        v = jnp.einsum("mij,mj->mi", B, v)
+        v = v / jnp.linalg.norm(v, axis=-1, keepdims=True).clip(1e-20)
+    return F - jnp.einsum("mij,mj,mk->mik", F, v, v, precision="highest")
+
+
 def _eight_point(p0, p1):
     """Batched 8-point fundamental matrix. p0, p1: (M, 8, 2) → F: (M, 3, 3)."""
     x0, y0 = p0[..., 0], p0[..., 1]
@@ -56,14 +100,8 @@ def _eight_point(p0, p1):
     A = jnp.stack(
         [x1 * x0, x1 * y0, x1, y1 * x0, y1 * y0, y1, x0, y0, ones], axis=-1
     )  # (M, 8, 9)
-    AtA = jnp.einsum("mij,mik->mjk", A, A, precision="highest")
-    _, V = jnp.linalg.eigh(AtA)
-    f = V[..., :, 0]
-    F = f.reshape(-1, 3, 3)
-    # Enforce rank 2.
-    U, s, Vt = jnp.linalg.svd(F)
-    s = s.at[..., 2].set(0.0)
-    return U @ (s[..., :, None] * Vt)
+    F = _null9(A).reshape(-1, 3, 3)
+    return _rank2_project(F)
 
 
 def sampson_distance(F, p0, p1):
