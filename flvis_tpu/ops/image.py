@@ -177,7 +177,12 @@ def extract_patches(img, centers, radius: int):
 
 
 def _use_pallas_gather() -> bool:
-    return jax.default_backend() == "tpu"
+    # Disabled pending an aligned-DMA redesign: Mosaic rejects dynamic
+    # slices of tiled memrefs at arbitrary (non-sublane/lane-aligned)
+    # offsets, and the aligned variant measured only ~150 µs/frame better
+    # than the XLA vmap-of-dynamic_slice path (ops/pallas/gather.py works
+    # in interpret mode and stays under test).
+    return False
 
 
 def _gather_blocks(padded, cx, cy, size: int):
