@@ -41,9 +41,12 @@ def main():
     dev = jax.devices()[0]
 
     # EuRoC-like configuration (752×480, 16-cell grid, 256 slots).
-    cfg = FrontendConfig(width=752, height=480, num_slots=256, pyramid_levels=4,
+    # Operating point from tools/sweep_operating_point.py: 6 GN iterations /
+    # 3 pyramid levels matches or beats the 10/4 point on synthetic ATE
+    # (0.12 vs 0.30 cm) while cutting the dominant sequential GN chain.
+    cfg = FrontendConfig(width=752, height=480, num_slots=256, pyramid_levels=3,
                          per_cell=16, min_distance=15.0, margin=20,
-                         lk_radius=10, lk_iters=10)
+                         lk_radius=10, lk_iters=6)
     scfg = SceneConfig(width=752, height=480, fx=458.0, fy=458.0, cx=376.0, cy=240.0,
                       baseline=0.11)
     cam = camera.make(scfg.fx, scfg.fy, scfg.cx, scfg.cy, scfg.baseline,

@@ -54,7 +54,11 @@ class FrontendConfig:
     # a 15×15 window measures identically (validated on the synthetic golden
     # runs) at ~2× less patch work.
     lk_radius: int = 7
-    lk_iters: int = 10
+    # 6 GN iterations: points still moving after 6 shift by <0.2 px (below
+    # the pose noise floor) and the sequential GN chain is the frontend's
+    # dominant TPU latency (tools/sweep_operating_point.py: equal-or-better
+    # ATE vs 10 iterations at EuRoC scale).
+    lk_iters: int = 6
     lk_min_eig: float = 1e-4
 
     # --- geometric gates ---

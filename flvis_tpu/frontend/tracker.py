@@ -59,7 +59,13 @@ class TrackerState:
     T_c_w: SE3                 # current camera-from-world pose
     T_prev: SE3                # previous frame pose
     velocity: jax.Array        # (6,) twist log(T_k ∘ T_{k-1}⁻¹) — motion model
-    pyr_prev: tuple            # previous left-image gradient pyramid ((img, gx, gy) per level)
+    img_prev: jax.Array        # previous left image (equalized), (H, W).
+    # The previous frame's gradient pyramid is REBUILT each frame in the
+    # same stacked pass as the current pair rather than carried: carrying
+    # the 12 pyramid arrays through the replay lax.scan cost ~5.5 ms/frame
+    # in loop-boundary materialization (profile_scan_bisect.py), while
+    # recomputing them in the (3, H, W) stacked build adds ~50 % elements
+    # to already-launched fused passes.
     status: jax.Array          # i32: 0 uninit / 1 tracking / 2 fail
     frame_id: jax.Array        # i32
     next_lm_id: jax.Array      # i32 (ids start at 100, landmark.cpp:3-9)
@@ -85,17 +91,12 @@ class FrameOutput(NamedTuple):
 
 
 def init_state(cfg: FrontendConfig, dtype=jnp.float32) -> TrackerState:
-    def zl(l):
-        z = jnp.zeros((cfg.height // (2 ** l), cfg.width // (2 ** l)), dtype)
-        return (z, z, z)
-
-    zero_pyr = tuple(zl(l) for l in range(cfg.pyramid_levels))
     I = se3m.identity(dtype=dtype)
     return TrackerState(
         table=lt.empty(cfg.num_slots, dtype),
         T_c_w=I, T_prev=I,
         velocity=jnp.zeros(6, dtype),
-        pyr_prev=zero_pyr,
+        img_prev=jnp.zeros((cfg.height, cfg.width), dtype),
         status=jnp.asarray(STATUS_UNINIT, jnp.int32),
         frame_id=jnp.asarray(0, jnp.int32),
         next_lm_id=jnp.asarray(100, jnp.int32),
@@ -306,7 +307,7 @@ def _init_branch(cfg: FrontendConfig, cam: StereoCamera, state: TrackerState,
 
 
 def _track_branch(cfg: FrontendConfig, cam: StereoCamera, state: TrackerState,
-                  pyr0, pyr1, d_img, T_prior: SE3, key):
+                  pyr_prev, pyr0, pyr1, d_img, T_prior: SE3, key):
     table = state.table
     k_ransac, k_depth = jax.random.split(key)
 
@@ -317,7 +318,7 @@ def _track_branch(cfg: FrontendConfig, cam: StereoCamera, state: TrackerState,
         & cam_m.in_bounds(cam, uv_guess_3d)
     uv_guess = jnp.where(use_proj[:, None], uv_guess_3d, table.uv)
     uv_new, lk_ok, _ = lk_ops.pyramidal_lk(
-        state.pyr_prev, pyr0, table.uv, uv_guess, table.active, _lk_params(cfg)
+        pyr_prev, pyr0, table.uv, uv_guess, table.active, _lk_params(cfg)
     )
 
     # --- STEP2b: fundamental-matrix consistency gate ------------------------
@@ -449,19 +450,24 @@ def track_frame(cfg: FrontendConfig, cam: StereoCamera, state: TrackerState,
     if rng_key is None:
         rng_key = jax.random.fold_in(jax.random.PRNGKey(7), state.frame_id)
 
-    # Gradient pyramids are built once per image and reused by the temporal
-    # LK (prev frame's, cached in state), the stereo forward pass and the
-    # stereo backward check.  In depth mode img1 is the raw depth image and
-    # needs no pyramid.  The stereo pair is stacked so equalization, the
-    # separable filters and the decimations each run as ONE fused VPU pass
-    # over both images — sequential per-op dispatch latency, not FLOPs, is
-    # the frontend's cost model on TPU.
+    # Gradient pyramids for the PREVIOUS left image (temporal LK template),
+    # the current left image and the current right image are built in ONE
+    # stacked (3, H, W) pass: sequential per-op dispatch latency, not FLOPs,
+    # is the frontend's cost model on TPU, so equalization, each separable
+    # filter tap and each decimation runs as a single fused VPU pass over
+    # all images at once.  img_prev is stored post-equalization, so only
+    # the current images go through equalize_hist here.  In depth mode img1
+    # is the raw depth image and needs no pyramid or equalization.
     if cfg.depth_mode:
         if cfg.equalize:
             # Depth images are never intensity data and are left untouched.
             img0 = imops.equalize_hist(img0)
-        pyr0 = imops.build_grad_pyramid(img0, cfg.pyramid_levels)
+        stack = jnp.stack([state.img_prev, img0])
+        pyrs = imops.build_grad_pyramid(stack, cfg.pyramid_levels)
+        pyr_prev = tuple((im[0], gx[0], gy[0]) for im, gx, gy in pyrs)
+        pyr0 = tuple((im[1], gx[1], gy[1]) for im, gx, gy in pyrs)
         pyr1, d_img = None, img1
+        img_prev_next = img0
     else:
         pair = jnp.stack([img0, img1])
         if cfg.equalize:
@@ -469,10 +475,13 @@ def track_frame(cfg: FrontendConfig, cam: StereoCamera, state: TrackerState,
             # applied to the pair as the reference does,
             # f2f_tracking.cpp:127-148).
             pair = imops.equalize_hist(pair)
-        both = imops.build_grad_pyramid(pair, cfg.pyramid_levels)
-        pyr0 = tuple((im[0], gx[0], gy[0]) for im, gx, gy in both)
-        pyr1 = tuple((im[1], gx[1], gy[1]) for im, gx, gy in both)
+        stack = jnp.concatenate([state.img_prev[None], pair])
+        pyrs = imops.build_grad_pyramid(stack, cfg.pyramid_levels)
+        pyr_prev = tuple((im[0], gx[0], gy[0]) for im, gx, gy in pyrs)
+        pyr0 = tuple((im[1], gx[1], gy[1]) for im, gx, gy in pyrs)
+        pyr1 = tuple((im[2], gx[2], gy[2]) for im, gx, gy in pyrs)
         d_img = None
+        img_prev_next = pair[0]
 
     if use_prior and prior_T is not None:
         T_pred = prior_T
@@ -483,7 +492,8 @@ def track_frame(cfg: FrontendConfig, cam: StereoCamera, state: TrackerState,
         return _init_branch(cfg, cam, st, pyr0, pyr1, d_img, T_pred, rng_key)
 
     def do_track(st):
-        return _track_branch(cfg, cam, st, pyr0, pyr1, d_img, T_pred, rng_key)
+        return _track_branch(cfg, cam, st, pyr_prev, pyr0, pyr1, d_img, T_pred,
+                             rng_key)
 
     new_state, out = jax.lax.cond(state.status == STATUS_TRACKING, do_track, do_init, state)
     # Record this frame's pose in the rebase ring (STEP7 pose_records push,
@@ -491,7 +501,7 @@ def track_frame(cfg: FrontendConfig, cam: StereoCamera, state: TrackerState,
     h = new_state.ring_head
     new_state = dataclasses.replace(
         new_state,
-        pyr_prev=pyr0,
+        img_prev=img_prev_next,
         frame_id=state.frame_id + 1,
         ring_q=new_state.ring_q.at[h].set(new_state.T_c_w.q),
         ring_t=new_state.ring_t.at[h].set(new_state.T_c_w.t),

@@ -118,8 +118,8 @@ def _track_level(img_prev, grad_x, grad_y, img_next, pts_prev, flow, valid, p: L
 
     flow = clamp_flow(flow)
 
-    def body(_, carry):
-        flow, converged = carry
+    def body(carry):
+        i, flow, converged = carry
         cur = sample(flow)
         e = cur.reshape(n, -1) - t_flat
         b = jnp.einsum("ns,nsk->nk", e, G)               # (N, 2)
@@ -129,9 +129,27 @@ def _track_level(img_prev, grad_x, grad_y, img_next, pts_prev, flow, valid, p: L
         step_ok = update_ok & ~converged
         flow = jnp.where(step_ok[:, None], clamp_flow(flow + delta), flow)
         converged = converged | (jnp.sum(delta * delta, axis=-1) < p.eps * p.eps)
-        return flow, converged
+        return i + 1, flow, converged
 
-    flow, _ = jax.lax.fori_loop(0, p.iters, body, (flow, jnp.zeros(n, bool)))
+    # Early exit once (almost) every live point converged: the GN chain is
+    # the frontend's dominant latency (each iteration is a handful of small
+    # ops whose per-op latency, not FLOPs, sets the cost), and with IMU /
+    # constant-velocity-predicted guesses most frames converge in a few
+    # iterations — a while_loop makes the remaining iterations data-
+    # dependent instead of always paying the worst case.  A few stragglers
+    # (flat or noisy patches jittering above the eps step size) must not
+    # hold the whole batch hostage: they are exactly the points the
+    # downstream gates (fb check, RANSAC, MAD) discard, so the loop exits
+    # when <2 % of live points are still moving.
+    n_live = jnp.maximum(jnp.sum(update_ok), 1)
+
+    def cond(carry):
+        i, _, converged = carry
+        unconv = jnp.sum(~converged & update_ok)
+        return (i < p.iters) & (unconv * 50 > n_live)
+
+    _, flow, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), flow, jnp.zeros(n, bool)))
     return flow, wellcond
 
 

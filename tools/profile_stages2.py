@@ -109,7 +109,7 @@ def main():
         st = dataclasses.replace(
             state,
             table=dataclasses.replace(table, uv=table.uv + eps),
-            pyr_prev=jax.tree.map(lambda a: a + eps, state.pyr_prev))
+            img_prev=state.img_prev + eps)
         st2, out = tracker.track_frame(cfg, cam, st, img0 + eps, img1 + eps)
         return jnp.sum(out.T_c_w.t) * 1e-6
 
