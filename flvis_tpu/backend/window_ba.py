@@ -198,58 +198,106 @@ def add_keyframe(cfg: BackendConfig, state: WindowState, kf: KeyframePacket) -> 
     )
 
 
+# --- L-LAST LAYOUT --------------------------------------------------------
+# All per-landmark tensors below keep the landmark axis LAST, so L (the only
+# large dimension) rides the TPU lane dimension.  The natural (W, L, 3, 6)
+# layout puts 3- and 6-sized axes in the (8, 128) tile — ~95 % of every
+# vector register and HBM burst is padding, and the whole solver runs ~4×
+# slower (measured: cost scaled linearly with the L slot count while W
+# barely mattered).  Einsums contract over `l`, mapping onto the MXU with a
+# 1024-deep contraction instead of batches of 3×6 confetti.
+
+
 def _residuals(cam: StereoCamera, poses: SE3, lm_pw, obs_uv, obs_ur, ur_valid):
-    """(W, L, 3) stereo reprojection residuals [Δu_l, Δv, Δu_r] + points.
+    """(W, 3, L) stereo reprojection residuals [Δu_l, Δv, Δu_r] + points
+    p_c (W, 3, L).
 
     The third (right-camera) component is zeroed where no stereo measurement
     exists; it anchors metric scale, which the reference's monocular g2o
     edges (EdgeSE3ProjectXYZ) leave as a slow gauge drift."""
-    p_c = so3.rotate(poses.q[:, None, :], lm_pw[None, :, :]) + poses.t[:, None, :]
-    uv = project(cam, p_c)
-    z = jnp.where(jnp.abs(p_c[..., 2]) < 1e-6, 1e-6, p_c[..., 2])
-    ur_pred = uv[..., 0] - cam.fx * cam.baseline / z
-    r_ur = jnp.where(ur_valid, ur_pred - obs_ur, 0.0)
-    r = jnp.concatenate([uv - obs_uv, r_ur[..., None]], axis=-1)
+    pw = lm_pw.T if lm_pw.ndim == 2 else lm_pw            # (3, L)
+    R = so3.to_matrix(poses.q)                            # (W, 3, 3)
+    p_c = jnp.einsum("wab,bl->wal", R, pw,
+                     precision="highest") + poses.t[:, :, None]
+    x, y = p_c[:, 0], p_c[:, 1]
+    z = jnp.where(jnp.abs(p_c[:, 2]) < 1e-6, 1e-6, p_c[:, 2])
+    u = cam.fx * x / z + cam.cx
+    v = cam.fy * y / z + cam.cy
+    ur_pred = u - cam.fx * cam.baseline / z
+    r = jnp.stack([
+        u - obs_uv[..., 0],
+        v - obs_uv[..., 1],
+        jnp.where(ur_valid, ur_pred - obs_ur, 0.0),
+    ], axis=1)                                            # (W, 3, L)
     return r, p_c
 
 
 def _jacobians(cam: StereoCamera, poses: SE3, p_c, ur_valid):
-    """J_pose (W, L, 3, 6) wrt left-retraction of each pose, and
-    J_lm (W, L, 3, 3) wrt landmark world position (rows: u_l, v, u_r)."""
-    x, y = p_c[..., 0], p_c[..., 1]
-    z = jnp.where(jnp.abs(p_c[..., 2]) < 1e-6, 1e-6, p_c[..., 2])
+    """J_pose (W, 3, 6, L) wrt left-retraction of each pose, and
+    J_lm (W, 3, 3, L) wrt landmark world position (rows: u_l, v, u_r)."""
+    x, y = p_c[:, 0], p_c[:, 1]
+    zr = p_c[:, 2]
+    z = jnp.where(jnp.abs(zr) < 1e-6, 1e-6, zr)
     iz = 1.0 / z
     iz2 = iz * iz
     zero = jnp.zeros_like(iz)
+    one = jnp.ones_like(iz)
     urm = ur_valid.astype(p_c.dtype)
     duv = jnp.stack(
         [
-            jnp.stack([cam.fx * iz, zero, -cam.fx * x * iz2], -1),
-            jnp.stack([zero, cam.fy * iz, -cam.fy * y * iz2], -1),
+            jnp.stack([cam.fx * iz, zero, -cam.fx * x * iz2], 1),
+            jnp.stack([zero, cam.fy * iz, -cam.fy * y * iz2], 1),
             jnp.stack([cam.fx * iz * urm, zero,
-                       (-cam.fx * x * iz2 + cam.fx * cam.baseline * iz2) * urm], -1),
+                       (-cam.fx * x * iz2 + cam.fx * cam.baseline * iz2) * urm], 1),
         ],
-        axis=-2,
-    )  # (W, L, 3, 3)
-    I = jnp.broadcast_to(jnp.eye(3), p_c.shape[:-1] + (3, 3))
-    dp_pose = jnp.concatenate([I, -so3.hat(p_c)], axis=-1)       # (W, L, 3, 6)
-    J_pose = duv @ dp_pose
-    R = so3.to_matrix(poses.q)                                   # (W, 3, 3)
-    J_lm = duv @ R[:, None, :, :]
+        axis=1,
+    )                                                     # (W, 3row, 3xyz, L)
+    # [I | -hat(p_c)] rows, (W, 3xyz, 6, L).
+    dp_pose = jnp.stack(
+        [
+            jnp.stack([one, zero, zero, zero, zr, -y], 1),
+            jnp.stack([zero, one, zero, -zr, zero, x], 1),
+            jnp.stack([zero, zero, one, y, -x, zero], 1),
+        ],
+        axis=1,
+    )
+    J_pose = jnp.sum(duv[:, :, :, None, :] * dp_pose[:, None, :, :, :], axis=2)
+    R = so3.to_matrix(poses.q)                            # (W, 3, 3)
+    J_lm = jnp.einsum("wacl,wcb->wabl", duv, R, precision="highest")
     return J_pose, J_lm
 
 
 def _robust_weights(r, delta):
-    r2 = jnp.sum(r * r, axis=-1)
+    r2 = jnp.sum(r * r, axis=1)                           # (W, L)
     rn = jnp.sqrt(jnp.maximum(r2, 1e-12))
     return jnp.where(rn <= delta, 1.0, delta / rn), r2
 
 
 def _total_cost(r, w_mask, delta):
-    r2 = jnp.sum(r * r, axis=-1)
+    r2 = jnp.sum(r * r, axis=1)
     rn = jnp.sqrt(jnp.maximum(r2, 1e-12))
     rho = jnp.where(rn <= delta, 0.5 * r2, delta * (rn - 0.5 * delta))
     return jnp.sum(jnp.where(w_mask, rho, 0.0))
+
+
+def _sym3_inv(H):
+    """Closed-form inverse of symmetric (3, 3, L) blocks — pure lane-wise
+    VPU arithmetic (jnp.linalg.inv would run a batched LU over L tiny
+    matrices)."""
+    a, b, c = H[0, 0], H[0, 1], H[0, 2]
+    d, e, f = H[1, 1], H[1, 2], H[2, 2]
+    A00 = d * f - e * e
+    A01 = c * e - b * f
+    A02 = b * e - c * d
+    A11 = a * f - c * c
+    A12 = b * c - a * e
+    A22 = a * d - b * b
+    det = a * A00 + b * A01 + c * A02
+    idet = jnp.where(jnp.abs(det) > 1e-20, 1.0 / det, 0.0)
+    row0 = jnp.stack([A00, A01, A02])
+    row1 = jnp.stack([A01, A11, A12])
+    row2 = jnp.stack([A02, A12, A22])
+    return jnp.stack([row0, row1, row2]) * idet
 
 
 def _schur_step(cam, poses: SE3, lm_pw, obs, w_mask, fixed_pose, lam, delta,
@@ -267,9 +315,9 @@ def _schur_step(cam, poses: SE3, lm_pw, obs, w_mask, fixed_pose, lam, delta,
         return jax.lax.psum(x, axis_name) if axis_name else x
     W = poses.q.shape[0]
     r, p_c = _residuals(cam, poses, lm_pw, obs_uv, obs_ur, ur_valid)
-    Jp, Jl = _jacobians(cam, poses, p_c, ur_valid)
+    Jp, Jl = _jacobians(cam, poses, p_c, ur_valid)    # (W,3,6,L), (W,3,3,L)
     huber, _ = _robust_weights(r, delta)
-    wgt = jnp.where(w_mask, huber, 0.0)
+    wgt = jnp.where(w_mask, huber, 0.0)               # (W, L)
 
     # Zero the fixed pose's Jacobian → its delta stays 0 (gauge).
     Jp = jnp.where(fixed_pose[:, None, None, None], 0.0, Jp)
@@ -277,28 +325,29 @@ def _schur_step(cam, poses: SE3, lm_pw, obs, w_mask, fixed_pose, lam, delta,
     # precision="highest": these normal-equation products are the numerical
     # backbone of the solver; TPU's default bf16 matmul path is not enough.
     hp = dict(precision="highest")
-    Hpp = reduce(jnp.einsum("wlik,wl,wlim->wkm", Jp, wgt, Jp, **hp))   # (W, 6, 6)
-    Hll = jnp.einsum("wlik,wl,wlim->lkm", Jl, wgt, Jl, **hp)           # (L, 3, 3) local
-    Hpl = jnp.einsum("wlik,wl,wlim->wlkm", Jp, wgt, Jl, **hp)          # (W, L, 6, 3) local
-    bp = -reduce(jnp.einsum("wlik,wl,wli->wk", Jp, wgt, r, **hp))      # (W, 6)
-    bl = -jnp.einsum("wlik,wl,wli->lk", Jl, wgt, r, **hp)              # (L, 3) local
+    Jpw = Jp * wgt[:, None, None, :]
+    Hpp = reduce(jnp.einsum("wakl,waml->wkm", Jpw, Jp, **hp))          # (W, 6, 6)
+    Hll = jnp.einsum("wabl,wl,wacl->bcl", Jl, wgt, Jl, **hp)           # (3, 3, L) local
+    Hpl = jnp.einsum("wakl,wabl->wkbl", Jpw, Jl, **hp)                 # (W, 6, 3, L) local
+    bp = -reduce(jnp.einsum("wakl,wal->wk", Jpw, r, **hp))             # (W, 6)
+    bl = -jnp.einsum("wabl,wl,wal->bl", Jl, wgt, r, **hp)              # (3, L) local
 
-    # Damp and invert landmark blocks.
-    Hll_d = Hll + (lam * jnp.eye(3))[None] * jnp.maximum(
-        jnp.trace(Hll, axis1=-2, axis2=-1)[:, None, None] / 3.0, 1e-6
-    ) + 1e-8 * jnp.eye(3)[None]
-    Hll_inv = jnp.linalg.inv(Hll_d)
+    # Damp and invert landmark blocks (closed-form symmetric 3×3).
+    tr = Hll[0, 0] + Hll[1, 1] + Hll[2, 2]
+    damp = lam * jnp.maximum(tr / 3.0, 1e-6) + 1e-8
+    Hll_d = Hll + damp * jnp.eye(3)[:, :, None]
+    Hll_inv = _sym3_inv(Hll_d)                                         # (3, 3, L)
 
     # Schur complement of the landmark block.
-    A = jnp.einsum("wlkm,lmn->wlkn", Hpl, Hll_inv, precision="highest")
-    S_red = reduce(jnp.einsum("wlkn,vlmn->wvkm", A, Hpl, precision="highest"))
+    A = jnp.einsum("wkml,mnl->wknl", Hpl, Hll_inv, **hp)               # (W, 6, 3, L)
+    S_red = reduce(jnp.einsum("wknl,vmnl->wvkm", A, Hpl, **hp))
     Hpp_d = Hpp + (lam * jnp.eye(6))[None] * jnp.maximum(
         jnp.trace(Hpp, axis1=-2, axis2=-1)[:, None, None] / 6.0, 1e-6
     )
     S = -S_red
     S = S.at[jnp.arange(W), jnp.arange(W)].add(Hpp_d)
     S = S.transpose(0, 2, 1, 3).reshape(6 * W, 6 * W)
-    rhs = bp - reduce(jnp.einsum("wlkn,ln->wk", A, bl, precision="highest"))
+    rhs = bp - reduce(jnp.einsum("wknl,nl->wk", A, bl, **hp))
 
     # Make the fixed pose's rows/cols an identity block so the solve is well-
     # posed with delta = 0 there.
@@ -310,12 +359,11 @@ def _schur_step(cam, poses: SE3, lm_pw, obs, w_mask, fixed_pose, lam, delta,
     dp = jnp.linalg.solve(S, rhs.reshape(-1)).reshape(W, 6)
 
     # Back-substitute landmarks.
-    dl = jnp.einsum("lkm,lm->lk", Hll_inv,
-                    bl - jnp.einsum("wlkm,wk->lm", Hpl, dp, precision="highest"),
-                    precision="highest")
+    dl = jnp.einsum("bcl,cl->bl", Hll_inv,
+                    bl - jnp.einsum("wkcl,wk->cl", Hpl, dp, **hp), **hp)
 
     new_poses = se3m.retract_left(poses, dp)
-    return new_poses, lm_pw + dl
+    return new_poses, lm_pw + dl.T
 
 
 def _lm_loop(cam, poses, lm_pw, obs, w_mask, fixed_pose, iters: int, delta,
@@ -372,7 +420,7 @@ def optimize(cfg: BackendConfig, cam: StereoCamera, state: WindowState) -> BARes
                               fixed_pose, cfg.iters1, cfg.huber_delta)
     # Edge cull: chi² > thr (vo_localmap.cpp:292-319).
     r1, _ = _residuals(cam, poses1, lm1, *obs)
-    chi2 = jnp.sum(r1 * r1, axis=-1)
+    chi2 = jnp.sum(r1 * r1, axis=1)                       # (W, L)
     w_mask2 = w_mask & (chi2 < cfg.chi2_cull)
     # Phase 2.
     obs2 = (state.obs_uv, state.obs_ur, state.obs_ur_valid & w_mask2)

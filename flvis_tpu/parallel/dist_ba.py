@@ -79,7 +79,7 @@ def optimize_sharded(cfg: BackendConfig, mesh: Mesh, cam: StereoCamera,
         )
         r1, _ = window_ba._residuals(cam, poses1, lm1, obs_uv, obs_ur,
                                      obs_ur_valid & w_mask)
-        chi2 = jnp.sum(r1 * r1, axis=-1)
+        chi2 = jnp.sum(r1 * r1, axis=1)                   # r is (W, 3, L)
         w_mask2 = w_mask & (chi2 < cfg.chi2_cull)
         obs2 = (obs_uv, obs_ur, obs_ur_valid & w_mask2)
         poses2, lm2, cost = window_ba._lm_loop(
