@@ -7,10 +7,12 @@ without an IMU guess (src/processing/lkorb_tracking.cpp:161-200).
 
 P3P's closed form needs quartic root-finding, which maps poorly to TPU
 (complex eigendecompositions are unsupported).  Instead each minimal sample
-is solved with a linear EPnP variant — 4 control points, a 12×12 normal-
-matrix eigendecomposition for the null vector, scale from control-point
-distance consistency, and an orthogonal-Procrustes fit — which is all
-batched eigh/SVD.  All hypotheses are solved AND scored in parallel
+is solved with a linear EPnP variant — 4 control points from a closed-form
+Cholesky spread basis, a CGS2 null-space extraction for the control-point
+camera coordinates, scale from control-point distance consistency, and a
+Horn-quaternion Procrustes fit — all batched closed-form / statically-
+unrolled arithmetic (no eigh/svd: those lower to iterative eigensolvers on
+TPU — see ops.linalg).  All hypotheses are solved AND scored in parallel
 (hypothesize-and-verify as one program, like ops.ransac).
 """
 
@@ -23,13 +25,17 @@ import jax.numpy as jnp
 
 from ..geometry import se3 as se3m, so3
 from ..geometry.se3 import SE3
+from . import linalg as la
 from . import ransac as ransac_ops
 
 
-def procrustes(src, dst, weights=None):
-    """Rigid transform (R, t) minimizing Σ w‖R·src + t − dst‖² (batched).
+def procrustes_quat(src, dst, weights=None):
+    """Rigid transform (q, t) minimizing Σ w‖R(q)·src + t − dst‖² (batched).
 
-    src, dst: (..., N, 3).  The Umeyama/Kabsch solve via batched 3×3 SVD.
+    src, dst: (..., N, 3).  Horn's quaternion method: the optimal rotation
+    is the dominant eigenvector of a symmetric 4×4 built from the weighted
+    correlation — found by fixed-iteration power iteration instead of the
+    Kabsch 3×3 SVD, and a proper rotation by construction (no det flip).
     """
     if weights is None:
         weights = jnp.ones(src.shape[:-1], src.dtype)
@@ -37,15 +43,27 @@ def procrustes(src, dst, weights=None):
     wsum = jnp.sum(w, axis=-2, keepdims=True)
     mu_s = jnp.sum(src * w, axis=-2, keepdims=True) / jnp.maximum(wsum, 1e-9)
     mu_d = jnp.sum(dst * w, axis=-2, keepdims=True) / jnp.maximum(wsum, 1e-9)
-    S = jnp.einsum("...ni,...nj->...ij", (dst - mu_d) * w, src - mu_s)
-    U, _, Vt = jnp.linalg.svd(S)
-    det = jnp.linalg.det(U @ Vt)
-    # Proper rotation: flip the last singular direction if det < 0.
-    flip = jnp.where(det < 0, -1.0, 1.0)
-    Vt = Vt.at[..., 2, :].multiply(flip[..., None])
-    R = U @ Vt
-    t = mu_d[..., 0, :] - jnp.einsum("...ij,...j->...i", R, mu_s[..., 0, :])
-    return R, t
+    # M[a, b] = Σ w · src_a · dst_b  (Horn's S).
+    M = jnp.einsum("...na,...nb->...ab", (src - mu_s) * w, dst - mu_d,
+                   precision="highest")
+    Sxx, Sxy, Sxz = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    Syx, Syy, Syz = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    Szx, Szy, Szz = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    N = jnp.stack([
+        jnp.stack([Sxx + Syy + Szz, Syz - Szy, Szx - Sxz, Sxy - Syx], -1),
+        jnp.stack([Syz - Szy, Sxx - Syy - Szz, Sxy + Syx, Szx + Sxz], -1),
+        jnp.stack([Szx - Sxz, Sxy + Syx, -Sxx + Syy - Szz, Syz + Szy], -1),
+        jnp.stack([Sxy - Syx, Szx + Sxz, Syz + Szy, -Sxx - Syy + Szz], -1),
+    ], -2)
+    q = la.max_eigvec_sym(N)
+    t = mu_d[..., 0, :] - so3.rotate(q, mu_s[..., 0, :])
+    return q, t
+
+
+def procrustes(src, dst, weights=None):
+    """Rigid transform (R, t): matrix-returning wrapper of procrustes_quat."""
+    q, t = procrustes_quat(src, dst, weights)
+    return so3.to_matrix(q), t
 
 
 def _epnp_minimal(X, xn):
@@ -59,18 +77,20 @@ def _epnp_minimal(X, xn):
       RANSAC scoring weeds those out).
     """
     M, K, _ = X.shape
-    # Control points: centroid + principal axes.
+    # Control points: centroid + a spread-matched affine basis.  The exact
+    # PCA eigenbasis is unnecessary — any non-degenerate frame spanning the
+    # cloud conditions the system equally well — so the closed-form
+    # Cholesky factor of the covariance (L Lᵀ = cov, columns scale like the
+    # principal axes) replaces the iterative eigh.
     c0 = jnp.mean(X, axis=1, keepdims=True)                     # (M, 1, 3)
     Xc = X - c0
     cov = jnp.einsum("mki,mkj->mij", Xc, Xc, precision="highest") / K
-    w_eig, V = jnp.linalg.eigh(cov)                              # ascending
-    scale = jnp.sqrt(jnp.maximum(w_eig, 1e-9))[..., None, :]
-    axes = V * scale                                             # (M, 3, 3) cols scaled
+    axes = la.chol3(cov, jitter=1e-9)                            # (M, 3, 3) cols
     Cw = jnp.concatenate([c0, c0 + axes.transpose(0, 2, 1)], axis=1)  # (M, 4, 3)
 
     # Barycentric coordinates: X = Σ α_j C_j with Σ α = 1.
     B = (Cw[:, 1:] - Cw[:, :1]).transpose(0, 2, 1)               # (M, 3, 3)
-    B_inv = jnp.linalg.inv(B + 1e-9 * jnp.eye(3))
+    B_inv = la.inv3(B + 1e-9 * jnp.eye(3))
     a123 = jnp.einsum("mij,mkj->mki", B_inv, Xc)                 # (M, K, 3)
     a0 = 1.0 - jnp.sum(a123, axis=-1, keepdims=True)
     alpha = jnp.concatenate([a0, a123], axis=-1)                 # (M, K, 4)
@@ -84,9 +104,12 @@ def _epnp_minimal(X, xn):
     A = jnp.concatenate(
         [row_u.reshape(M, K, 12), row_v.reshape(M, K, 12)], axis=1
     )  # (M, 2K, 12); unknown layout: [c0x, c0y, c0z, c1x, ..., c3z]
-    AtA = jnp.einsum("mri,mrj->mij", A, A, precision="highest")
-    _, Vv = jnp.linalg.eigh(AtA)
-    vvec = Vv[..., :, 0]                                          # (M, 12)
+    # Null vector by CGS2 row orthonormalization (ops.linalg.gs_null): at
+    # most 11 rows are kept so a 1-dim null space exists exactly — for the
+    # minimal K=6 sample this discards half of one correspondence's
+    # information, which RANSAC hypothesis scoring absorbs (the reference's
+    # P3P uses only 3 of its 4 points for the solve too).
+    vvec = la.gs_null(A[:, : min(2 * K, 11)])                     # (M, 12)
     Cc = vvec.reshape(M, 4, 3)
 
     # Scale from control-point distance consistency; sign from cheirality.
@@ -107,8 +130,8 @@ def _epnp_minimal(X, xn):
     zmean = jnp.einsum("mki,mk->mi", Cc, jnp.mean(alpha, axis=1))[:, 2]
     Cc = Cc * jnp.where(zmean < 0, -1.0, 1.0)[:, None, None]
 
-    R, t = procrustes(Cw, Cc)
-    return SE3(so3.from_matrix(R), t)
+    q, t = procrustes_quat(Cw, Cc)
+    return SE3(q, t)
 
 
 @functools.partial(jax.jit, static_argnames=("num_hypotheses", "sample_size"))

@@ -49,31 +49,12 @@ def _hartley_normalize(pts, valid):
 
 def _null9(A):
     """Unit null vector of each (8, 9) minimal system, batched: (M, 8, 9) →
-    (M, 9).
+    (M, 9) — CGS2 null-space extraction (ops.linalg.gs_null), replacing a
+    batched 9×9 jnp.linalg.eigh that lowered to an iterative eigensolver on
+    TPU and dominated the RANSAC gate's cost."""
+    from . import linalg as la
 
-    Orthonormalizes the 8 rows with statically-unrolled CGS2 and returns the
-    best-conditioned residual column of I − QᵀQ — exact null-space
-    extraction from pure batched dots/matmuls.  Replaces a batched 9×9
-    jnp.linalg.eigh, which lowers to an iterative eigensolver on TPU and
-    dominated the RANSAC gate's cost."""
-    qs = []
-    for j in range(8):
-        v = A[:, j, :]
-        for _ in range(2):
-            for qi in qs:
-                v = v - jnp.sum(qi * v, -1, keepdims=True) * qi
-        n2 = jnp.sum(v * v, -1, keepdims=True)
-        # Degenerate samples (rank < 8): drop the dependent row; the null
-        # space is then >1-dimensional and any orthogonal vector serves.
-        v = jnp.where(n2 > 1e-16, v / jnp.sqrt(jnp.maximum(n2, 1e-20)), 0.0)
-        qs.append(v)
-    Q = jnp.stack(qs, axis=1)                                   # (M, 8, 9)
-    P = jnp.eye(9) - jnp.einsum("mkj,mkl->mjl", Q, Q, precision="highest")
-    # Column with the largest residual norm² (= diagonal of the projector).
-    diag = jnp.diagonal(P, axis1=-2, axis2=-1)
-    pick = jax.nn.one_hot(jnp.argmax(diag, axis=-1), 9, dtype=P.dtype)
-    h = jnp.einsum("mjl,ml->mj", P, pick)
-    return h / jnp.linalg.norm(h, axis=-1, keepdims=True).clip(1e-12)
+    return la.gs_null(A)
 
 
 def _rank2_project(F):
