@@ -176,34 +176,60 @@ def extract_patches(img, centers, radius: int):
     )
 
 
-def _use_pallas_gather() -> bool:
-    # Disabled pending an aligned-DMA redesign: Mosaic rejects dynamic
-    # slices of tiled memrefs at arbitrary (non-sublane/lane-aligned)
-    # offsets, and the aligned variant measured only ~150 µs/frame better
-    # than the XLA vmap-of-dynamic_slice path (ops/pallas/gather.py works
-    # in interpret mode and stays under test).
-    return False
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:  # pragma: no cover - backend probe never raises in practice
+        return False
 
 
 def _gather_blocks(padded, cx, cy, size: int):
     """(N,) int32 padded-space corners → per-point blocks from `padded`
     ((H, W) → (N, size, size); (C, H, W) → (N, C, size, size)).
 
-    TPU: one Pallas program with pipelined per-point DMAs.  Other backends:
-    vmap of dynamic_slice (fine on CPU, pathological on TPU — each slice
-    becomes a scalar-core-sequenced program)."""
-    if _use_pallas_gather():
-        from .pallas.gather import gather_windows
+    TPU: ONE-HOT MATMUL gather — row/column selection matrices built from
+    iota comparisons, contracted on the MXU (`precision="highest"` keeps the
+    0/1 selection exact in f32).  Measured at 256 points this is ~2x faster
+    than vmap-of-dynamic_slice (248 vs 451 µs standalone) because the
+    dynamic_slice loop is sequenced by the scalar core at ~1.3 µs/slice
+    while the matmuls are dense MXU work, independent of point count.
+    A Pallas per-point-DMA kernel was tried first and abandoned: Mosaic
+    rejects dynamic slices of tiled memrefs at non-lane-aligned offsets and
+    the aligned variant barely beat the XLA loop (ops/pallas/gather.py works
+    in interpret mode and stays under test).
 
-        return gather_windows(padded, jnp.stack([cx, cy], -1), size)
-    if padded.ndim == 2:
+    CPU: vmap of dynamic_slice (matmul gathers are pathological there).
+
+    Callers must pre-clip corners so [corner, corner+size) lies inside
+    `padded` — the one-hot path yields ZERO rows (not clamped slices) when
+    out of range, unlike dynamic_slice.
+    """
+    if not _on_tpu():
+        if padded.ndim == 2:
+            return jax.vmap(
+                lambda yy, xx: jax.lax.dynamic_slice(padded, (yy, xx), (size, size))
+            )(cy, cx)
+        c = padded.shape[0]
         return jax.vmap(
-            lambda yy, xx: jax.lax.dynamic_slice(padded, (yy, xx), (size, size))
+            lambda yy, xx: jax.lax.dynamic_slice(padded, (0, yy, xx), (c, size, size))
         )(cy, cx)
-    c = padded.shape[0]
-    return jax.vmap(
-        lambda yy, xx: jax.lax.dynamic_slice(padded, (0, yy, xx), (c, size, size))
-    )(cy, cx)
+    return _gather_blocks_matmul(padded, cx, cy, size)
+
+
+def _gather_blocks_matmul(padded, cx, cy, size: int):
+    """One-hot-matmul block gather (see _gather_blocks).  Exact: the 0/1
+    selection matrices contract at precision="highest"."""
+    hp, wp = padded.shape[-2:]
+    dt = padded.dtype
+    rows = cy[:, None] + jnp.arange(size)[None, :]            # (N, size)
+    cols = cx[:, None] + jnp.arange(size)[None, :]
+    Ry = (rows[:, :, None] == jnp.arange(hp)[None, None, :]).astype(dt)
+    Cx = (cols[:, :, None] == jnp.arange(wp)[None, None, :]).astype(dt)
+    if padded.ndim == 2:
+        rw = jnp.einsum("nrh,hw->nrw", Ry, padded, precision="highest")
+        return jnp.einsum("nrw,ncw->nrc", rw, Cx, precision="highest")
+    rw = jnp.einsum("nrh,khw->nkrw", Ry, padded, precision="highest")
+    return jnp.einsum("nkrw,ncw->nkrc", rw, Cx, precision="highest")
 
 
 def extract_patches_multi(stack, centers, radius: int):

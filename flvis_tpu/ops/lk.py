@@ -45,15 +45,16 @@ def _selection(rel, size: int, width: int):
     rows (columns) at subpixel offset rel.  Replaces per-iteration patch
     gathers with MXU matmuls (gathers serialize on the scalar core; these
     are the dominant frontend cost otherwise).
+
+    Built as a triangle ("hat") function of the column index — one fused
+    relu(1-|c - rel-i|) expression instead of two one-hot compares + blend
+    (the GN chain is dispatch-latency-bound, so op count matters more than
+    FLOPs here).  Leading dims of rel batch arbitrarily.
     """
     rel = jnp.clip(rel, 0.0, width - size - 1 - 1e-4)
-    r0 = jnp.floor(rel)
-    f = (rel - r0)[:, None, None]
-    idx = r0.astype(jnp.int32)[:, None] + jnp.arange(size)[None, :]  # (N, size)
-    cols = jnp.arange(width)[None, None, :]
-    hit0 = (cols == idx[:, :, None]).astype(jnp.float32)
-    hit1 = (cols == (idx + 1)[:, :, None]).astype(jnp.float32)
-    return hit0 * (1.0 - f) + hit1 * f
+    pos = rel[..., None, None] + jnp.arange(size, dtype=rel.dtype)[:, None]
+    cols = jnp.arange(width, dtype=rel.dtype)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(cols - pos))
 
 
 def _track_level(img_prev, grad_x, grad_y, img_next, pts_prev, flow, valid, p: LKParams):
@@ -102,11 +103,12 @@ def _track_level(img_prev, grad_x, grad_y, img_next, pts_prev, flow, valid, p: L
 
     def sample(flow):
         # Patch element (0,0) sits at pos - r relative to the window corner.
+        # One joint (N, 2, s, wd) selection build for both axes (fewer
+        # dispatches than separate Sy/Sx), then two batched matmuls.
         rel = pts_prev + flow - corner - r
-        Sy = _selection(rel[:, 1], s, wd)
-        Sx = _selection(rel[:, 0], s, wd)
-        rows = jnp.einsum("niy,nyx->nix", Sy, win, precision="highest")
-        return jnp.einsum("nix,njx->nij", rows, Sx, precision="highest")
+        S = _selection(rel[:, ::-1], s, wd)          # [:,0]=Sy, [:,1]=Sx
+        rows = jnp.einsum("niy,nyx->nix", S[:, 0], win, precision="highest")
+        return jnp.einsum("nix,njx->nij", rows, S[:, 1], precision="highest")
 
     # Keep the flow inside the sampled window (mirrors the clamp in sample).
     pos_lo = corner + r
@@ -118,18 +120,26 @@ def _track_level(img_prev, grad_x, grad_y, img_next, pts_prev, flow, valid, p: L
 
     flow = clamp_flow(flow)
 
-    def body(carry):
-        i, flow, converged = carry
+    def gn_step(flow, converged, live):
         cur = sample(flow)
         e = cur.reshape(n, -1) - t_flat
         b = jnp.einsum("ns,nsk->nk", e, G)               # (N, 2)
         dx = (a22 * b[:, 0] - a12 * b[:, 1]) / det_safe
         dy = (a11 * b[:, 1] - a12 * b[:, 0]) / det_safe
         delta = jnp.stack([-dx, -dy], axis=-1)
-        step_ok = update_ok & ~converged
+        step_ok = update_ok & ~converged & live
         flow = jnp.where(step_ok[:, None], clamp_flow(flow + delta), flow)
         converged = converged | (jnp.sum(delta * delta, axis=-1) < p.eps * p.eps)
-        return i + 1, flow, converged
+        return flow, converged
+
+    def body(carry):
+        # Two GN iterations per while-loop trip: the loop is dispatch-latency
+        # bound (each trip syncs the cond scalar), so halving the trip count
+        # is nearly free FLOP-wise while keeping the early exit.
+        i, flow, converged = carry
+        flow, converged = gn_step(flow, converged, jnp.asarray(True))
+        flow, converged = gn_step(flow, converged, i + 1 < p.iters)
+        return i + 2, flow, converged
 
     # Early exit once (almost) every live point converged: the GN chain is
     # the frontend's dominant latency (each iteration is a handful of small
@@ -153,9 +163,9 @@ def _track_level(img_prev, grad_x, grad_y, img_next, pts_prev, flow, valid, p: L
     return flow, wellcond
 
 
-@functools.partial(jax.jit, static_argnames=("params",))
+@functools.partial(jax.jit, static_argnames=("params", "want_err"))
 def pyramidal_lk(pyrg_prev, pyr_next, pts_prev, pts_guess, valid,
-                 params: LKParams = LKParams()):
+                 params: LKParams = LKParams(), want_err: bool = False):
     """Track points from pyrg_prev to pyr_next.
 
     Args:
@@ -172,7 +182,11 @@ def pyramidal_lk(pyrg_prev, pyr_next, pts_prev, pts_guess, valid,
     Returns:
       pts_next: (N, 2) tracked locations.
       status: (N,) bool success mask (conditioning + in-bounds).
-      err: (N,) mean absolute patch residual at the solution.
+      err: (N,) mean absolute patch residual at the solution — computed only
+        when `want_err` (two extra full-res patch gathers); zeros otherwise.
+        No production caller consumes it (the frontend gates on RANSAC/MAD
+        instead), so it defaults off rather than relying on XLA DCE through
+        the jit-call boundary.
     """
     num_levels = len(pyrg_prev)
     assert len(pyr_next) == num_levels
@@ -206,9 +220,12 @@ def pyramidal_lk(pyrg_prev, pyr_next, pts_prev, pts_guess, valid,
         & (pts_next[:, 1] >= r) & (pts_next[:, 1] <= h - 1 - r)
     )
     status = status & inb
-    final = imops.extract_patches(level_img(pyr_next[0]), pts_next, r)
-    templ = imops.extract_patches(level_img(pyrg_prev[0]), pts_prev, r)
-    err = jnp.mean(jnp.abs(final - templ), axis=(1, 2))
+    if want_err:
+        final = imops.extract_patches(level_img(pyr_next[0]), pts_next, r)
+        templ = imops.extract_patches(level_img(pyrg_prev[0]), pts_prev, r)
+        err = jnp.mean(jnp.abs(final - templ), axis=(1, 2))
+    else:
+        err = jnp.zeros(pts_next.shape[0], pts_next.dtype)
     return pts_next, status, err
 
 

@@ -42,6 +42,25 @@ class TestImageOps:
         assert p.shape == (1, 15, 15)
         np.testing.assert_allclose(p[0, 7, 7], tex[60, 50], rtol=1e-6)
 
+    def test_gather_blocks_matmul_matches_dynamic_slice(self, tex):
+        # The TPU gather path (one-hot MXU matmuls) must agree exactly with
+        # the CPU dynamic_slice path for in-range corners.
+        rng = np.random.default_rng(5)
+        img = jnp.asarray(tex)
+        size = 13
+        cx = jnp.asarray(rng.integers(0, tex.shape[1] - size, 32), jnp.int32)
+        cy = jnp.asarray(rng.integers(0, tex.shape[0] - size, 32), jnp.int32)
+        ref = np.stack([tex[y:y + size, x:x + size]
+                        for x, y in zip(np.asarray(cx), np.asarray(cy))])
+        got = np.asarray(imops._gather_blocks_matmul(img, cx, cy, size))
+        np.testing.assert_allclose(got, ref, rtol=1e-6)
+        # Multi-channel variant.
+        stack = jnp.stack([img, img * 0.5 + 3.0, img - 1.0])
+        got3 = np.asarray(imops._gather_blocks_matmul(stack, cx, cy, size))
+        ref3 = np.stack([np.asarray(stack)[:, y:y + size, x:x + size]
+                         for x, y in zip(np.asarray(cx), np.asarray(cy))])
+        np.testing.assert_allclose(got3, ref3, rtol=1e-6)
+
     def test_equalize_hist(self, tex):
         eq = np.asarray(imops.equalize_hist(jnp.asarray(tex)))
         cveq = cv2.equalizeHist(tex.astype(np.uint8)).astype(np.float32)

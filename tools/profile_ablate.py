@@ -31,9 +31,9 @@ def main():
     dev = jax.devices()[0]
     T = 16
 
-    base = dict(width=752, height=480, num_slots=256, pyramid_levels=4,
+    base = dict(width=752, height=480, num_slots=256, pyramid_levels=3,
                 per_cell=16, min_distance=15.0, margin=20,
-                lk_radius=10, lk_iters=10)
+                lk_radius=10, lk_iters=6)
     scfg = SceneConfig(width=752, height=480, fx=458.0, fy=458.0, cx=376.0,
                        cy=240.0, baseline=0.11)
     cam = camera.make(scfg.fx, scfg.fy, scfg.cx, scfg.cy, scfg.baseline,
@@ -62,11 +62,9 @@ def main():
     full = timed("FULL (baseline)", FrontendConfig(**base))
     for name, delta in [
         ("lk_iters=1 (temporal+stereo GN chain)", dict(lk_iters=1)),
-        ("lk_iters=5", dict(lk_iters=5)),
         ("pyramid_levels=2 (fewer LK levels)", dict(pyramid_levels=2)),
+        ("num_slots=128", dict(num_slots=128)),
         ("ba_iters=1+1 (LM chain)", dict(ba_iters1=1, ba_iters2=1)),
-        ("ransac_hypotheses=8", dict(ransac_hypotheses=8)),
-        ("per_cell=1 (detect near-off)", dict(per_cell=1)),
         ("lk_radius=6 (smaller patches)", dict(lk_radius=6)),
     ]:
         cfg = FrontendConfig(**{**base, **delta})
