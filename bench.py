@@ -159,9 +159,14 @@ def main():
     i1s = jnp.stack([jnp.stack([jnp.roll(imgs[t % len(imgs)][1], 7 * s, axis=1)
                                 for t in range(Tn)]) for s in range(S)])
     vstates = multiseq.init_states(cfg, S)
-    vstates, _ = multiseq.track_frames_scan_batch(cfg, cams, vstates, i0s, i1s)
+    # TWO carried warmup calls: the first compiles; the second absorbs the
+    # occasional one-time slow dispatch observed on carried-state re-entry
+    # (a stray recompile/autotune event that otherwise lands in the timed
+    # region and understates steady-state throughput ~15x).
+    for _ in range(2):
+        vstates, _ = multiseq.track_frames_scan_batch(cfg, cams, vstates, i0s, i1s)
     sync(vstates)
-    n_v = 2
+    n_v = 3
     t0 = time.perf_counter()
     for _ in range(n_v):
         vstates, _ = multiseq.track_frames_scan_batch(cfg, cams, vstates, i0s, i1s)
