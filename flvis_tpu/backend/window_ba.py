@@ -36,6 +36,7 @@ import jax.numpy as jnp
 
 from ..config import BackendConfig
 from ..geometry import se3 as se3m, so3
+from ..ops import linalg as linalg_ops
 from ..geometry.camera import StereoCamera, project
 from ..geometry.se3 import SE3
 
@@ -356,6 +357,11 @@ def _schur_step(cam, poses: SE3, lm_pw, obs, w_mask, fixed_pose, lam, delta,
     S = S + jnp.diag(jnp.where(fixmat, 1.0, 1e-9))
     rhs = jnp.where(fixed_pose[:, None], 0.0, rhs)
 
+    # jnp.linalg.solve measures ~390 µs here (sequential LU lowering), over
+    # half the per-iteration cost — but it still beats a statically-unrolled
+    # block elimination in plain XLA (ops/linalg.block_spd_solve: 110 small
+    # stacked matmuls, 20.1 vs 14.4 ms/keyframe end to end), because per-op
+    # dispatch latency dominates both.  Revisit only inside a fused kernel.
     dp = jnp.linalg.solve(S, rhs.reshape(-1)).reshape(W, 6)
 
     # Back-substitute landmarks.
@@ -370,8 +376,8 @@ def _lm_loop(cam, poses, lm_pw, obs, w_mask, fixed_pose, iters: int, delta,
              axis_name=None):
     obs_uv, obs_ur, ur_valid = obs
 
-    def body(_, carry):
-        poses, lm_pw, lam, cost = carry
+    def body(carry):
+        it, poses, lm_pw, lam, cost, _ = carry
         new_poses, new_lm = _schur_step(cam, poses, lm_pw, obs, w_mask, fixed_pose,
                                         lam, delta, axis_name)
         r, _ = _residuals(cam, new_poses, new_lm, obs_uv, obs_ur, ur_valid)
@@ -382,14 +388,26 @@ def _lm_loop(cam, poses, lm_pw, obs, w_mask, fixed_pose, iters: int, delta,
         poses = jax.tree.map(lambda a, b: jnp.where(better, b, a), poses, new_poses)
         lm_pw = jnp.where(better, new_lm, lm_pw)
         lam = jnp.where(better, jnp.maximum(lam * 0.3, 1e-7), jnp.minimum(lam * 5.0, 1e3))
+        # Converged: an ACCEPTED step improved the cost by < 1e-5 relative —
+        # the same "chi² stopped moving" criterion g2o's optimize(N) uses to
+        # return before N iterations; each remaining iteration would pay a
+        # full Schur solve (~0.7 ms) for noise-level gains.
+        done = better & (cost - new_cost < 1e-5 * cost)
         cost = jnp.where(better, new_cost, cost)
-        return poses, lm_pw, lam, cost
+        return it + 1, poses, lm_pw, lam, cost, done
+
+    def cond(carry):
+        it, _, _, _, _, done = carry
+        return (it < iters) & ~done
 
     r0, _ = _residuals(cam, poses, lm_pw, obs_uv, obs_ur, ur_valid)
     cost0 = _total_cost(r0, w_mask, delta)
     if axis_name:
         cost0 = jax.lax.psum(cost0, axis_name)
-    poses, lm_pw, _, cost = jax.lax.fori_loop(0, iters, body, (poses, lm_pw, 1e-4, cost0))
+    _, poses, lm_pw, _, cost, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.asarray(0, jnp.int32), poses, lm_pw, jnp.asarray(1e-4, cost0.dtype),
+         cost0, jnp.asarray(False)))
     return poses, lm_pw, cost
 
 

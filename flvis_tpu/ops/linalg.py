@@ -94,6 +94,94 @@ def gs_null(A):
     return h / jnp.linalg.norm(h, axis=-1, keepdims=True).clip(1e-12)
 
 
+def sym3_inv(H):
+    """Closed-form inverse of symmetric (..., 3, 3) blocks."""
+    a, b, c = H[..., 0, 0], H[..., 0, 1], H[..., 0, 2]
+    d, e, f = H[..., 1, 1], H[..., 1, 2], H[..., 2, 2]
+    A00 = d * f - e * e
+    A01 = c * e - b * f
+    A02 = b * e - c * d
+    A11 = a * f - c * c
+    A12 = b * c - a * e
+    A22 = a * d - b * b
+    det = a * A00 + b * A01 + c * A02
+    idet = jnp.where(jnp.abs(det) > 1e-30, 1.0 / det, 0.0)[..., None, None]
+    adj = jnp.stack([
+        jnp.stack([A00, A01, A02], -1),
+        jnp.stack([A01, A11, A12], -1),
+        jnp.stack([A02, A12, A22], -1),
+    ], -2)
+    return adj * idet
+
+
+def spd6_inv(M):
+    """Closed-form inverse of symmetric positive-definite (..., 6, 6) blocks
+    via the 2×2-of-3×3 Schur complement — batched matmuls and the closed-form
+    3×3 inverse, no LU loop."""
+    A = M[..., :3, :3]
+    B = M[..., :3, 3:]
+    D = M[..., 3:, 3:]
+    Ai = sym3_inv(A)
+    AiB = jnp.einsum("...ab,...bc->...ac", Ai, B, precision="highest")
+    S = D - jnp.einsum("...ba,...bc->...ac", B, AiB, precision="highest")
+    Si = sym3_inv(0.5 * (S + jnp.swapaxes(S, -1, -2)))
+    TL = Ai + jnp.einsum("...ab,...bc,...dc->...ad", AiB, Si, AiB,
+                         precision="highest")
+    TR = -jnp.einsum("...ab,...bc->...ac", AiB, Si, precision="highest")
+    top = jnp.concatenate([TL, TR], axis=-1)
+    bot = jnp.concatenate([jnp.swapaxes(TR, -1, -2), Si], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def block_spd_solve(S, rhs, bs: int = 6):
+    """Solve S x = rhs for symmetric positive-definite S (N, N) made of
+    (N/bs)² `bs`-sized blocks, by STATICALLY UNROLLED block Gaussian
+    elimination with closed-form 6×6 pivot inverses.
+
+    NOTE (measured): in plain XLA on TPU this LOSES to jnp.linalg.solve for
+    the 60×60 window-BA system (20.1 vs 14.4 ms/keyframe end to end) — the
+    ~110 small stacked matmuls pay more per-op dispatch latency than the LU
+    loop does.  It is kept as the numerically-validated elimination blueprint
+    for a future fused (Pallas) Schur-step kernel, where the unrolled chain
+    becomes straight-line VMEM code, and for CPU use.  No pivoting: the
+    damped Schur complement is SPD by construction.  rhs may be (N,) or
+    (N, K)."""
+    n = S.shape[0]
+    assert n % bs == 0 and bs == 6, "block_spd_solve is specialised to 6"
+    W = n // bs
+    vec = rhs.ndim == 1
+    b = rhs.reshape(n, -1)
+    # Block-row lists keep every slice static so the chain fully unrolls.
+    rows = [[S[i * bs:(i + 1) * bs, j * bs:(j + 1) * bs] for j in range(W)]
+            for i in range(W)]
+    rb = [b[i * bs:(i + 1) * bs] for i in range(W)]
+    hp = dict(precision="highest")
+    dinv = [None] * W
+    for i in range(W):
+        dinv[i] = spd6_inv(rows[i][i])
+        if i + 1 < W:
+            # All sub-diagonal blocks of column i at once: (W-1-i, 6, 6).
+            C = jnp.stack([rows[j][i] for j in range(i + 1, W)])
+            L = jnp.einsum("jab,bc->jac", C, dinv[i], **hp)
+            Srow = jnp.stack(rows[i][i + 1:])                   # (W-1-i, 6, 6)
+            upd = jnp.einsum("jab,kbc->jkac", L, Srow, **hp)
+            rupd = jnp.einsum("jab,bk->jak", L, rb[i], **hp)
+            for j in range(i + 1, W):
+                rb[j] = rb[j] - rupd[j - i - 1]
+                for k in range(i + 1, W):
+                    rows[j][k] = rows[j][k] - upd[j - i - 1, k - i - 1]
+    x = [None] * W
+    for i in range(W - 1, -1, -1):
+        acc = rb[i]
+        if i + 1 < W:
+            Srow = jnp.stack(rows[i][i + 1:])
+            xs = jnp.stack(x[i + 1:])
+            acc = acc - jnp.einsum("kab,kbj->aj", Srow, xs, **hp)
+        x[i] = jnp.einsum("ab,bj->aj", dinv[i], acc, **hp)
+    out = jnp.concatenate(x, axis=0)
+    return out[:, 0] if vec else out
+
+
 def max_eigvec_sym(K, squarings: int = 5, iters: int = 3):
     """Dominant (algebraically largest) eigenvector of symmetric (..., D, D),
     batched, fixed op count.
