@@ -301,16 +301,47 @@ def _sym3_inv(H):
     return jnp.stack([row0, row1, row2]) * idet
 
 
+_PALLAS_SCHUR = True    # module switch, overridable in tests
+
+
+def _schur_kernel_enabled() -> bool:
+    # The fused kernel runs compiled on real TPUs only; CPU runs keep the
+    # XLA path (the kernel's interpret mode exists for parity tests, which
+    # monkeypatch this gate).
+    return _PALLAS_SCHUR and jax.default_backend() == "tpu"
+
+
 def _schur_step(cam, poses: SE3, lm_pw, obs, w_mask, fixed_pose, lam, delta,
                 axis_name=None):
     """One damped Schur-complement LM step.  Returns (new_poses, new_lm_pw).
 
-    With `axis_name`, the landmark dimension is assumed sharded over that
-    mesh axis (shard_map): landmark blocks (Hll, A, bl, dl) stay local to
-    each device, while the small pose-system partial sums (Hpp, S_red, bp —
-    all (W,6,·)-sized) are reduced with psum over ICI.  This is the
-    distributed bundle adjustment the reference cannot do (g2o is single
+    On a single TPU device the whole step runs as ONE fused Pallas kernel
+    (ops/pallas/schur.py) — the XLA op-by-op path below costs ~0.72 ms per
+    iteration in per-op dispatch latency alone.  With `axis_name`, the
+    landmark dimension is assumed sharded over that mesh axis (shard_map):
+    landmark blocks (Hll, A, bl, dl) stay local to each device, while the
+    small pose-system partial sums (Hpp, S_red, bp — all (W,6,·)-sized) are
+    reduced with psum over ICI; the psum points interleave the partial sums,
+    so the sharded path keeps the XLA implementation.  This distributed
+    bundle adjustment is something the reference cannot do (g2o is single
     threaded per window)."""
+    if (axis_name is None and poses.q.shape[0] <= 16
+            and _schur_kernel_enabled()):
+        from ..ops.pallas.schur import schur_step_kernel
+
+        obs_uv, obs_ur, ur_valid = obs
+        W, L = w_mask.shape
+        R = so3.to_matrix(poses.q).reshape(W, 9)
+        obs3 = jnp.stack(
+            [obs_uv[..., 0], obs_uv[..., 1], obs_ur], axis=1).reshape(3 * W, L)
+        cam_row = jnp.stack([cam.fx, cam.fy, cam.cx, cam.cy,
+                             cam.fx * cam.baseline])
+        dp, dl = schur_step_kernel(
+            R, poses.t, lm_pw.T, obs3,
+            ur_valid.astype(jnp.float32), w_mask.astype(jnp.float32),
+            fixed_pose.astype(jnp.float32), cam_row,
+            jnp.asarray(lam, jnp.float32), delta=float(delta))
+        return se3m.retract_left(poses, dp), lm_pw + dl.T
     obs_uv, obs_ur, ur_valid = obs
     def reduce(x):
         return jax.lax.psum(x, axis_name) if axis_name else x
