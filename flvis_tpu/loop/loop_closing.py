@@ -253,7 +253,7 @@ class LoopCloser:
         self.count = 0
         self.closures: list[LoopClosure] = []
         self.T_map_odom: SE3 = se3m.identity()   # drift: corrected ∘ odom⁻¹
-        self._desc_buffer: list[np.ndarray] = []  # for on-the-fly vocab training
+        self._desc_buffer: list = []  # (desc, valid) device pairs until vocab trains
 
     # SE3-row accessors over the batched pose tables (API compatibility).
     @property
@@ -292,7 +292,11 @@ class LoopCloser:
             self.kf_q_odom, self.kf_t_odom, self.kf_q, self.kf_t,
             jnp.asarray(k, jnp.int32), T_c_w_odom.q, T_c_w_odom.t,
             self.T_map_odom.q, self.T_map_odom.t)
-        self._desc_buffer.append(np.asarray(desc)[np.asarray(kp_valid)])
+        if self.vocab is None:
+            # Keep device handles for the (one-time) vocabulary training;
+            # fetching here cost two host round trips (~54 ms under the
+            # remote-TPU tunnel) on EVERY keyframe, forever.
+            self._desc_buffer.append((desc, kp_valid))
 
         if self.vocab is None and k + 1 >= 8:
             self._train_vocab()
@@ -342,13 +346,16 @@ class LoopCloser:
         """Train the vocabulary from keyframes seen so far (the reference
         instead loads a pre-trained DBoW3 file, vo_loopclosing.cpp:1095-1102,
         which the repo does not ship)."""
-        all_desc = np.concatenate(self._desc_buffer, axis=0)
+        all_desc = np.concatenate(
+            [np.asarray(d)[np.asarray(v)] for d, v in self._desc_buffer],
+            axis=0)
         if len(all_desc) < self.cfg.vocab_words // 2:
             return
         self.vocab = bow.train(
             jnp.asarray(all_desc), np.ones(len(all_desc), bool),
             num_words=self.cfg.vocab_words, iters=6,
         )
+        self._desc_buffer.clear()
         # Back-fill BoW vectors for earlier keyframes.
         for i in range(self.count):
             self._set_db_row(
