@@ -36,7 +36,6 @@ import jax.numpy as jnp
 
 from ..config import BackendConfig
 from ..geometry import se3 as se3m, so3
-from ..ops import linalg as linalg_ops
 from ..geometry.camera import StereoCamera, project
 from ..geometry.se3 import SE3
 

@@ -346,9 +346,16 @@ class LoopCloser:
         """Train the vocabulary from keyframes seen so far (the reference
         instead loads a pre-trained DBoW3 file, vo_loopclosing.cpp:1095-1102,
         which the repo does not ship)."""
-        all_desc = np.concatenate(
-            [np.asarray(d)[np.asarray(v)] for d, v in self._desc_buffer],
-            axis=0)
+        # Fetch each buffered device pair at most ONCE: training re-runs on
+        # every keyframe until enough descriptors exist, and re-fetching the
+        # whole buffer each attempt would make that path O(k^2) in tunnel
+        # round trips.  Fetched entries are cached back as host arrays.
+        self._desc_buffer = [
+            e if isinstance(e, np.ndarray)
+            else np.asarray(e[0])[np.asarray(e[1])]
+            for e in self._desc_buffer
+        ]
+        all_desc = np.concatenate(self._desc_buffer, axis=0)
         if len(all_desc) < self.cfg.vocab_words // 2:
             return
         self.vocab = bow.train(

@@ -140,14 +140,13 @@ def extract_patches(img, centers, radius: int):
     Returns:
       (N, S, S) patch values, S = 2*radius+1.
 
-    Implementation note (TPU): one (S+1, S+1) dynamic_slice per point (a
-    contiguous block gather, which XLA/TPU lowers efficiently) followed by a
-    4-tap bilinear blend with per-point fractional weights — NOT an
-    arbitrary per-pixel gather, which is orders of magnitude slower on TPU.
-    The image is edge-replicate padded by radius+2 first so patches that
-    straddle the border replicate edge pixels exactly like per-pixel clamped
-    gathers would — dynamic_slice's own clamping would instead *shift* the
-    window and silently corrupt border tracks.
+    Implementation note (TPU): one (S+1, S+1) block gather per point via
+    `_gather_blocks` (one-hot selection matmuls on the MXU; dynamic_slice
+    loop on CPU) followed by a 4-tap bilinear blend with per-point
+    fractional weights — NOT an arbitrary per-pixel gather, which is orders
+    of magnitude slower on TPU.  The image is edge-replicate padded by
+    radius+2 first so patches that straddle the border replicate edge
+    pixels exactly like per-pixel clamped gathers would.
     """
     h, w = img.shape
     s = 2 * radius + 1
@@ -164,10 +163,7 @@ def extract_patches(img, centers, radius: int):
     xi = x0.astype(jnp.int32) - radius + pad
     yi = y0.astype(jnp.int32) - radius + pad
 
-    def slice_one(yy, xx):
-        return jax.lax.dynamic_slice(imgp, (yy, xx), (s + 1, s + 1))
-
-    P = jax.vmap(slice_one)(yi, xi)  # (N, S+1, S+1)
+    P = _gather_blocks(imgp, xi, yi, s + 1)  # (N, S+1, S+1)
     return (
         P[:, :-1, :-1] * (1 - fx) * (1 - fy)
         + P[:, :-1, 1:] * fx * (1 - fy)

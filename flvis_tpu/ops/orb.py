@@ -80,8 +80,10 @@ def orientations(img, pts, radius: int = 15):
     the border)."""
     kx, ky = _moment_kernels(radius)
     patches = imops.extract_patches(img, pts, radius)     # (N, S, S)
-    m10 = jnp.einsum("nyx,yx->n", patches, jnp.asarray(kx))
-    m01 = jnp.einsum("nyx,yx->n", patches, jnp.asarray(ky))
+    m10 = jnp.einsum("nyx,yx->n", patches, jnp.asarray(kx),
+                     precision="highest")
+    m01 = jnp.einsum("nyx,yx->n", patches, jnp.asarray(ky),
+                     precision="highest")
     return jnp.arctan2(m01, m10)
 
 
@@ -125,7 +127,11 @@ def brief_descriptors(img_blur, pts, angles):
     grid = jnp.arange(s, dtype=jnp.float32)
     wy = jnp.maximum(0.0, 1.0 - jnp.abs(grid[None, None, :] - py[..., None]))
     wx = jnp.maximum(0.0, 1.0 - jnp.abs(grid[None, None, :] - px[..., None]))
-    rows = jnp.einsum("npy,nyx->npx", wy, patches)               # (N, 512, S)
+    # precision="highest": bits come from comparing near-tie sample pairs;
+    # the TPU default bf16 matmul path (~0.4 intensity units of rounding)
+    # would flip bits and break the bit-identical claim above.
+    rows = jnp.einsum("npy,nyx->npx", wy, patches,
+                      precision="highest")                       # (N, 512, S)
     samples = jnp.sum(rows * wx, axis=-1)                        # (N, 512)
     bits = samples[:, :256] < samples[:, 256:]
     # Pack 256 bits → 8 uint32 words.

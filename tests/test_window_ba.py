@@ -222,8 +222,15 @@ class TestPallasSchurParity:
         try:
             # Force the kernel path; on CPU the kernel runs in interpret
             # mode (its own backend probe is unaffected by this patch).
+            # A DISTINCT BackendConfig is essential: optimize() is jitted
+            # with cfg static, and earlier tests already compiled it for
+            # CFG — the cached XLA-path executable would run regardless of
+            # this patch (jit keys on static args + avals, not globals).
+            cfg_kernel = BackendConfig(
+                window_size=CFG.window_size, max_landmarks=CFG.max_landmarks,
+                min_views=CFG.min_views, iters1=10, iters2=6)
             wba._schur_kernel_enabled = lambda: True
-            res = window_ba.optimize(CFG, CAM, st)
+            res = window_ba.optimize(cfg_kernel, CAM, st)
         finally:
             wba._schur_kernel_enabled = orig
         assert bool(res.correction.valid)
