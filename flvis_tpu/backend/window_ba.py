@@ -101,6 +101,24 @@ class Correction(NamedTuple):
     valid: jax.Array      # bool — window full & optimization ran
 
 
+def null_correction(cfg: BackendConfig, dtype=jnp.float32) -> Correction:
+    """A valid=False Correction with the backend's fixed shapes — the
+    "no feedback pending" value carried through fused pipeline programs
+    (apply_correction gates every effect on `valid`)."""
+    l = cfg.max_landmarks
+    return Correction(
+        frame_id=jnp.asarray(-1, jnp.int32),
+        q=jnp.asarray([1.0, 0, 0, 0], dtype),
+        t=jnp.zeros(3, dtype),
+        lm_id=jnp.full(l, -1, jnp.int32),
+        lm_pw=jnp.zeros((l, 3), dtype),
+        lm_mask=jnp.zeros(l, bool),
+        outlier_id=jnp.full(l, -1, jnp.int32),
+        outlier_mask=jnp.zeros(l, bool),
+        valid=jnp.asarray(False),
+    )
+
+
 def empty(cfg: BackendConfig, dtype=jnp.float32) -> WindowState:
     w, l = cfg.window_size, cfg.max_landmarks
     return WindowState(

@@ -13,6 +13,11 @@ Pipelining comes from JAX's async dispatch: the BA program launched at a
 keyframe overlaps the next frontend frames; its Correction is applied one
 frame later — the same "corrections arrive K frames late and are rebased"
 semantics as the reference's feedback topic (f2f_tracking.cpp:189-219).
+
+Dataset replay (process_frames) goes further: a whole chunk of frames —
+tracking, keyframe insertion, the 12+8 Schur window BA, and the correction
+feedback — runs as ONE device program (_chunk_fused), with a single packed
+device fetch per chunk for host bookkeeping.
 """
 
 from __future__ import annotations
@@ -35,19 +40,31 @@ from ..vio import vimotion
 
 
 @jax.jit
-def _pack_outputs(outs):
-    """Pack the per-frame FrameOutput fields into ONE (T, 12) array so the
-    host needs a single device fetch per chunk — under a remote-TPU tunnel
-    each fetch is a network round trip, and fetching the 6 fields separately
-    cost ~6 RTTs (~10 ms/frame at chunk 16)."""
-    return jnp.concatenate([
+def _pack_outputs(outs, ba_costs=None, corr_valids=None):
+    """Pack the per-frame FrameOutput fields (plus optional per-frame BA
+    cost and correction-valid flag) into ONE (T, 12|14) array so the host
+    needs a single device fetch per chunk — under a remote-TPU tunnel each
+    fetch is a network round trip, and fetching the fields separately cost
+    ~6 RTTs (~10 ms/frame at chunk 16)."""
+    cols = [
         outs.is_keyframe[:, None].astype(jnp.float32),
         outs.reset_backend[:, None].astype(jnp.float32),
         outs.status[:, None].astype(jnp.float32),
         outs.num_inliers[:, None].astype(jnp.float32),
         outs.mean_reproj_err[:, None],
         outs.T_c_w.q, outs.T_c_w.t,
-    ], axis=1)
+    ]
+    if ba_costs is not None:
+        cols.append(ba_costs[:, None])
+        cols.append(corr_valids[:, None].astype(jnp.float32))
+    return jnp.concatenate(cols, axis=1)
+
+
+@jax.jit
+def _slice_tree(tree, i):
+    """Row i of every leaf as ONE dispatched program (a plain tree.map of
+    `a[i]` dispatches one gather per leaf — ~13 for a KeyframePacket)."""
+    return jax.tree.map(lambda a: a[i], tree)
 
 
 def _unpack_outputs(packed: np.ndarray):
@@ -63,16 +80,50 @@ def _unpack_outputs(packed: np.ndarray):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _kf_step(cfg, cam, ba_state, pkts, i):
-    """Slice keyframe i out of a chunk's stacked packets, insert it into the
-    window, and optimize — ONE device program instead of ~15 separate
-    dispatches (13 packet-field slices + add_keyframe + optimize), which
-    dominate the per-keyframe cost under a remote-TPU tunnel."""
-    pkt = jax.tree.map(lambda a: a[i], pkts)
-    st = window_ba.add_keyframe(cfg, ba_state, pkt)
-    res = window_ba.optimize(cfg, cam, st)
-    return res, pkt
+@functools.partial(jax.jit, static_argnames=("fcfg", "bcfg"))
+def _chunk_fused(fcfg, bcfg, cam, fe_state, ba_state, corr, imgs0, imgs1):
+    """Frontend tracking AND per-keyframe window BA for a whole chunk as ONE
+    device program.
+
+    A lax.scan over frames carries (tracker state, BA window, pending
+    Correction); at keyframes a lax.cond runs add_keyframe + the full
+    12+8 Schur LM optimize, and its Correction is applied to the tracker at
+    the START of the next frame — the reference's per-frame feedback timing
+    (corrections arrive one keyframe late, f2f_tracking.cpp:189-219) rather
+    than the chunk-boundary approximation the previous host-loop path used.
+    Eliminates every per-keyframe host dispatch and the host round trip
+    between frontend and backend.
+
+    Returns (fe_state, ba_state, pending corr, stacked (outs, pkts, corrs,
+    costs)); `corrs` rows are null (valid=False) on non-keyframe frames.
+    """
+    null = window_ba.null_correction(bcfg)
+
+    def step(carry, xs):
+        fe, ba, corr = carry
+        i0, i1 = xs
+        fe = tracker.apply_correction(fe, corr)          # no-op when !valid
+        fe, out = tracker.track_frame(fcfg, cam, fe, i0, i1)
+        # KFMSG_CMD_RESET_LM: wipe the window (vo_localmap.cpp:89-98).
+        ba = jax.lax.cond(out.reset_backend,
+                          lambda b: window_ba.reset(bcfg, b),
+                          lambda b: b, ba)
+        pkt = tracker.make_keyframe_packet(fe, out)
+
+        def do_kf(b):
+            st = window_ba.add_keyframe(bcfg, b, pkt)
+            res = window_ba.optimize(bcfg, cam, st)
+            return res.state, res.correction, res.cost
+
+        def no_kf(b):
+            return b, null, jnp.asarray(0.0, jnp.float32)
+
+        ba, corr_new, cost = jax.lax.cond(out.is_keyframe, do_kf, no_kf, ba)
+        return (fe, ba, corr_new), (out, pkt, corr_new, cost)
+
+    (fe_state, ba_state, corr), ys = jax.lax.scan(
+        step, (fe_state, ba_state, corr), (imgs0, imgs1))
+    return fe_state, ba_state, corr, ys
 
 
 class SlamSystem:
@@ -89,6 +140,7 @@ class SlamSystem:
         self.ba_state = window_ba.empty(cfg.backend)
         self.vio_state = vimotion.init_state(cfg.vio)
         self.pending_corr: Optional[window_ba.Correction] = None
+        self._frames_processed = 0      # host mirror of fe_state.frame_id
         self.keyframes: list = []       # host log of keyframe packets (for loop closing)
         self.trajectory: list = []      # (frame_id, t_img, q, t)
         self.ba_costs: list = []
@@ -180,58 +232,58 @@ class SlamSystem:
             )
 
         self.trajectory.append(
-            (int(self.fe_state.frame_id) - 1, t_img,
+            (self._frames_processed, t_img,
              np.asarray(out.T_c_w.q), np.asarray(out.T_c_w.t))
         )
+        self._frames_processed += 1
         return out
 
     # ---------------------------------------------------------- chunk replay
     def process_frames(self, imgs0, imgs1, ts=None):
-        """Dataset-replay fast path: run a CHUNK of frames as one lax.scan
-        device program, then handle keyframes/corrections on the host.
+        """Dataset-replay fast path: frontend tracking AND per-keyframe
+        window BA for a whole chunk run as ONE device program (_chunk_fused),
+        followed by a SINGLE packed device fetch for host bookkeeping.
 
-        ~8x the stepwise throughput (no per-frame dispatch).  BA feedback
-        lands at chunk boundaries — the reference's corrections already
-        arrive K frames late (f2f_tracking.cpp:189-219), here K = chunk.
-        IMU feedforward is not available inside a chunk, so this path suits
-        the no-IMU configs (e.g. KITTI) or post-processing runs.
+        ~8x the stepwise throughput (no per-frame dispatch; no per-keyframe
+        BA dispatch).  BA feedback is applied on the frame after each
+        keyframe inside the chunk — the same one-keyframe-late timing as the
+        stepwise path and the reference (f2f_tracking.cpp:189-219).  IMU
+        feedforward is not available inside a chunk, so this path suits the
+        no-IMU configs (e.g. KITTI) or post-processing runs.
 
         Args:
           imgs0/imgs1: (T, H, W) stacked frames; ts optional (T,) times.
         Returns the stacked FrameOutput (host numpy pytree).
         """
         cfg = self.cfg
-        if self.pending_corr is not None:
-            self.fe_state = tracker.apply_correction(self.fe_state, self.pending_corr)
-            self.pending_corr = None
+        corr0 = (self.pending_corr if self.pending_corr is not None
+                 else window_ba.null_correction(cfg.backend))
         imgs0 = jnp.asarray(imgs0)
         imgs1 = jnp.asarray(imgs1)
         T = imgs0.shape[0]
-        self.fe_state, (outs, pkts) = tracker.track_frames_scan(
-            cfg.frontend, self.cam, self.fe_state, imgs0, imgs1,
-            with_packets=True)
-        outs_np = _unpack_outputs(np.asarray(_pack_outputs(outs)))
-        first_fid = int(self.fe_state.frame_id) - T
+        self.fe_state, self.ba_state, self.pending_corr, ys = _chunk_fused(
+            cfg.frontend, cfg.backend, self.cam,
+            self.fe_state, self.ba_state, corr0, imgs0, imgs1)
+        outs, pkts, corrs, costs = ys
+        corr_valids = corrs.valid
+        packed = np.asarray(_pack_outputs(outs, costs, corr_valids))
+        outs_np = _unpack_outputs(packed)
+        first_fid = self._frames_processed
+        self._frames_processed += T
         for i in range(T):
-            t_img = float(ts[i]) if ts is not None else 0.0
-            if bool(outs_np.reset_backend[i]):
-                self.ba_state = window_ba.reset(cfg.backend, self.ba_state)
             if bool(outs_np.is_keyframe[i]):
-                res, pkt = _kf_step(cfg.backend, self.cam, self.ba_state,
-                                    pkts, jnp.asarray(i, jnp.int32))
-                self.ba_state = res.state
-                self.pending_corr = res.correction
-                if self.sparse_map is not None and bool(res.correction.valid):
-                    self.sparse_map.add_correction(
-                        res.correction.lm_id, res.correction.lm_pw,
-                        res.correction.lm_mask)
+                pkt = _slice_tree(pkts, jnp.asarray(i, jnp.int32))
                 self.keyframes.append(pkt)
-                self.ba_costs.append(res.cost)
+                self.ba_costs.append(packed[i, 12])
+                if self.sparse_map is not None and packed[i, 13] > 0.5:
+                    corr = _slice_tree(corrs, jnp.asarray(i, jnp.int32))
+                    self.sparse_map.add_correction(
+                        corr.lm_id, corr.lm_pw, corr.lm_mask)
                 if self.loop_closer is not None:
                     T_c_w = SE3(jnp.asarray(outs_np.T_c_w.q[i]),
                                 jnp.asarray(outs_np.T_c_w.t[i]))
                     k = self.loop_closer.add_keyframe(
-                        imgs0[i], imgs1[i], T_c_w, int(pkt.frame_id))
+                        imgs0[i], imgs1[i], T_c_w, first_fid + i)
                     if self.loop_closer.detect_loop(k) is not None:
                         self.loop_closer.optimize_graph()
             self.trajectory.append(

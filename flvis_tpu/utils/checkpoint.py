@@ -91,6 +91,8 @@ def load_slam_system(path: str, slam) -> None:
         (int(r[0]), float(r[1]), r[2:6].astype(np.float32), r[6:9].astype(np.float32))
         for r in traj
     ]
+    # Host mirror of fe_state.frame_id (one trajectory entry per frame).
+    slam._frames_processed = len(slam.trajectory)
     import os
 
     if slam.loop_closer is not None and os.path.exists(path + ".loop.npz"):

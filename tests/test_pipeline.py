@@ -81,3 +81,39 @@ class TestChunkReplay:
         ate = np.sqrt(np.mean(np.sum((C_est - C_gt) ** 2, axis=-1)))
         path = 0.03 * len(poses)
         assert ate < 0.02 * path + 0.01, f"ATE {ate:.4f} m over {path:.2f} m"
+
+    def test_fused_chunk_matches_stepwise(self):
+        """The fused chunk program (frontend + per-keyframe BA + per-frame
+        correction feedback in one lax.scan) has the SAME semantics as the
+        stepwise no-IMU path: same RNG (frame-id fold), same correction
+        timing (applied the frame after each keyframe), same reset ordering
+        — so the two trajectories must agree to float tolerance."""
+        scfg = SceneConfig()
+        scene = PlanarScene(scfg, plane_depth=8.0, seed=11)
+        poses = orbit_trajectory(16, step=0.03)
+        cfg = SystemConfig(
+            frontend=FrontendConfig(width=scfg.width, height=scfg.height,
+                                    num_slots=128, pyramid_levels=3, per_cell=8,
+                                    min_distance=12.0, margin=22),
+            backend=BackendConfig(window_size=5, max_landmarks=256,
+                                  iters1=8, iters2=4),
+        )
+        cam = camera.make(scfg.fx, scfg.fy, scfg.cx, scfg.cy, scfg.baseline,
+                          width=scfg.width, height=scfg.height)
+        frames = [scene.render(R, t) for (R, t) in poses]
+
+        sys_a = SlamSystem(cfg, cam)
+        for (l, r, _) in frames:
+            sys_a.process_frame(l, r)
+
+        sys_b = SlamSystem(cfg, cam)
+        chunk = 4
+        for c0 in range(0, len(frames), chunk):
+            batch = frames[c0:c0 + chunk]
+            sys_b.process_frames(np.stack([b[0] for b in batch]),
+                                 np.stack([b[1] for b in batch]))
+
+        assert len(sys_a.keyframes) == len(sys_b.keyframes)
+        ta = np.asarray([t for (_, _, _, t) in sys_a.trajectory])
+        tb = np.asarray([t for (_, _, _, t) in sys_b.trajectory])
+        np.testing.assert_allclose(ta, tb, atol=1e-4)
