@@ -45,6 +45,11 @@ def main():
     ap.add_argument("--chunk", type=int, default=0,
                     help="replay fast path: process N frames per lax.scan "
                          "device program (no per-frame dispatch; no IMU)")
+    ap.add_argument("--yaml", default=None,
+                    help="reference-style YAML config (the /yamlconfigfile "
+                         "surface: feature_para*, vifusion_para*, dr_para*, "
+                         "window_size, lc params); dataset geometry still "
+                         "comes from the dataset reader")
     ap.add_argument("--out", default="est_traj.tum")
     args = ap.parse_args()
 
@@ -92,10 +97,24 @@ def main():
                          baseline=0.0 if args.depth else args.baseline,
                          depth_factor=1000.0,
                          width=args.width, height=args.height)
-    fe = FrontendConfig(width=cam.width, height=cam.height, num_slots=256,
-                        pyramid_levels=4, per_cell=16,
-                        depth_mode=(args.dataset == "d435i" and args.depth))
-    cfg = SystemConfig(frontend=fe, backend=BackendConfig())
+    depth_mode = args.dataset == "d435i" and args.depth
+    if args.yaml:
+        import dataclasses
+
+        from flvis_tpu.config import load_yaml
+
+        cfg = load_yaml(args.yaml)
+        # The dataset reader owns the image geometry (it rectifies); the
+        # YAML keeps the algorithm parameter surface.
+        fe = dataclasses.replace(cfg.frontend, width=cam.width,
+                                 height=cam.height, num_slots=256,
+                                 depth_mode=depth_mode)
+        cfg = dataclasses.replace(cfg, frontend=fe)
+    else:
+        fe = FrontendConfig(width=cam.width, height=cam.height, num_slots=256,
+                            pyramid_levels=4, per_cell=16,
+                            depth_mode=depth_mode)
+        cfg = SystemConfig(frontend=fe, backend=BackendConfig())
     slam = SlamSystem(cfg, cam, T_i_c=T_i_c, use_imu=args.imu, use_loop=args.loop)
 
     n = min(args.frames or len(ds), len(ds))
