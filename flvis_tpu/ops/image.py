@@ -184,8 +184,9 @@ def _gather_blocks(padded, cx, cy, size: int):
     ((H, W) → (N, size, size); (C, H, W) → (N, C, size, size)).
 
     TPU: ONE-HOT MATMUL gather — row/column selection matrices built from
-    iota comparisons, contracted on the MXU (`precision="highest"` keeps the
-    0/1 selection exact in f32).  Measured at 256 points this is ~2x faster
+    iota comparisons, contracted on the MXU at asymmetric per-operand
+    precision (exact; see _gather_blocks_matmul).  Measured at 256 points
+    this is ~2x faster
     than vmap-of-dynamic_slice (248 vs 451 µs standalone) because the
     dynamic_slice loop is sequenced by the scalar core at ~1.3 µs/slice
     while the matmuls are dense MXU work, independent of point count.
@@ -213,19 +214,30 @@ def _gather_blocks(padded, cx, cy, size: int):
 
 
 def _gather_blocks_matmul(padded, cx, cy, size: int):
-    """One-hot-matmul block gather (see _gather_blocks).  Exact: the 0/1
-    selection matrices contract at precision="highest"."""
+    """One-hot-matmul block gather (see _gather_blocks).
+
+    Exact, at asymmetric per-operand precision: the 0/1 selection matrices
+    are exactly representable in ONE bf16 pass (DEFAULT), so only the image
+    operand gets the multi-pass f32 decomposition (HIGHEST).  Every output
+    is a sum with exactly one nonzero term, so the result is bit-identical
+    to all-HIGHEST (verified in tools/profile_gather_tiled.py: maxerr 0)
+    while the 3-channel gather runs ~1.6x faster (661 -> 421 us at the
+    frontend's level-0 shapes).  A two-stage row-tile gather was also
+    raced there: 4x fewer MACs but no win — the shallower contraction
+    loses the MXU efficiency the MAC count gains."""
     hp, wp = padded.shape[-2:]
     dt = padded.dtype
+    sel_data = (jax.lax.Precision.DEFAULT, jax.lax.Precision.HIGHEST)
+    data_sel = (jax.lax.Precision.HIGHEST, jax.lax.Precision.DEFAULT)
     rows = cy[:, None] + jnp.arange(size)[None, :]            # (N, size)
     cols = cx[:, None] + jnp.arange(size)[None, :]
     Ry = (rows[:, :, None] == jnp.arange(hp)[None, None, :]).astype(dt)
     Cx = (cols[:, :, None] == jnp.arange(wp)[None, None, :]).astype(dt)
     if padded.ndim == 2:
-        rw = jnp.einsum("nrh,hw->nrw", Ry, padded, precision="highest")
-        return jnp.einsum("nrw,ncw->nrc", rw, Cx, precision="highest")
-    rw = jnp.einsum("nrh,khw->nkrw", Ry, padded, precision="highest")
-    return jnp.einsum("nkrw,ncw->nkrc", rw, Cx, precision="highest")
+        rw = jnp.einsum("nrh,hw->nrw", Ry, padded, precision=sel_data)
+        return jnp.einsum("nrw,ncw->nrc", rw, Cx, precision=data_sel)
+    rw = jnp.einsum("nrh,khw->nkrw", Ry, padded, precision=sel_data)
+    return jnp.einsum("nkrw,ncw->nkrc", rw, Cx, precision=data_sel)
 
 
 def extract_patches_multi(stack, centers, radius: int):
