@@ -117,3 +117,40 @@ class TestChunkReplay:
         ta = np.asarray([t for (_, _, _, t) in sys_a.trajectory])
         tb = np.asarray([t for (_, _, _, t) in sys_b.trajectory])
         np.testing.assert_allclose(ta, tb, atol=1e-4)
+
+    def test_fused_chunk_failure_recovery_and_reset(self):
+        """A blank frame INSIDE a chunk must drive the tracker to FAIL, then
+        recover on the next good frame with reset_backend raised — and the
+        fused program's in-scan lax.cond reset must actually wipe the BA
+        window (the KFMSG_CMD_RESET_LM path, vo_localmap.cpp:89-98) and keep
+        tracking to the end of the chunk without NaNs."""
+        scfg = SceneConfig()
+        scene = PlanarScene(scfg, plane_depth=8.0, seed=7)
+        poses = orbit_trajectory(12, step=0.03)
+        cfg = SystemConfig(
+            frontend=FrontendConfig(width=scfg.width, height=scfg.height,
+                                    num_slots=128, pyramid_levels=3, per_cell=8,
+                                    min_distance=12.0, margin=22),
+            backend=BackendConfig(window_size=5, max_landmarks=256,
+                                  iters1=4, iters2=2),
+        )
+        cam = camera.make(scfg.fx, scfg.fy, scfg.cx, scfg.cy, scfg.baseline,
+                          width=scfg.width, height=scfg.height)
+        frames = [scene.render(R, t)[:2] for (R, t) in poses]
+        i0 = np.stack([f[0] for f in frames])
+        i1 = np.stack([f[1] for f in frames])
+        i0[5] = 0.0  # blank left frame mid-chunk
+        i1[5] = 0.0
+
+        sys_ = SlamSystem(cfg, cam)
+        outs = sys_.process_frames(i0, i1)
+        assert int(outs.status[5]) == 2                 # FAIL on the blank
+        assert int(outs.status[6]) == 1                 # recovered
+        assert bool(outs.reset_backend[6])              # reset broadcast
+        assert all(int(s) == 1 for s in outs.status[6:])
+        # The window was wiped at frame 6: only post-reset keyframes remain.
+        n_kf_after = int(np.sum(outs.is_keyframe[6:]))
+        assert int(sys_.ba_state.count) == min(n_kf_after,
+                                               cfg.backend.window_size)
+        C = sys_.trajectory_cam_centers()
+        assert np.all(np.isfinite(C))
