@@ -147,6 +147,83 @@ class PlanarScene:
         return img_l, img_r, depth_l
 
 
+class MultiPlaneScene:
+    """Several occluding textured fronto-parallel slabs at different depths.
+
+    The single-plane scene is the depth-degenerate case (planar structure is
+    the classic ambiguous configuration for epipolar geometry, and uniform
+    depth gives the motion BA its shallowest rotation/translation valley).
+    This scene ray-casts 2-4 finite slabs at staggered depths with a far
+    background plane, so stereo disparity spans a real range and occlusion
+    boundaries exist — closer to KITTI/EuRoC structure while keeping exact
+    closed-form depth and correspondence.
+    """
+
+    def __init__(self, cfg: SceneConfig, depths=(4.0, 7.0, 12.0), seed: int = 0,
+                 texture_scale: float = 4.0):
+        self.cfg = cfg
+        self.depths = sorted(depths)          # near → far; last = background
+        rng = np.random.default_rng(seed)
+        self.tex_h = int(cfg.height * texture_scale)
+        self.tex_w = int(cfg.width * texture_scale)
+        self.texs = [textured_image(np.random.default_rng(seed + 7 * k),
+                                    self.tex_h, self.tex_w)
+                     for k in range(len(self.depths))]
+        self.m_per_tpx = self.depths[-1] / cfg.fx / 2.0
+        # Finite X-extents per slab (metres, world): staggered vertical bands;
+        # the farthest plane is infinite (background).
+        w_m = cfg.width / cfg.fx * self.depths[-1]
+        n = len(self.depths)
+        self.extents = []
+        for k in range(n - 1):
+            x0 = -w_m / 2 + (k + 0.15) * w_m / n
+            self.extents.append((x0, x0 + 0.55 * w_m / n * 2))
+        self.extents.append((-np.inf, np.inf))
+
+    def _sample_tex(self, k, X, Y):
+        u = np.clip(X / self.m_per_tpx + self.tex_w / 2.0, 0, self.tex_w - 1.001)
+        v = np.clip(Y / self.m_per_tpx + self.tex_h / 2.0, 0, self.tex_h - 1.001)
+        u0 = u.astype(int); v0 = v.astype(int)
+        fu = u - u0; fv = v - v0
+        t = self.texs[k]
+        return (t[v0, u0] * (1 - fv) * (1 - fu) + t[v0, u0 + 1] * (1 - fv) * fu
+                + t[v0 + 1, u0] * fv * (1 - fu)
+                + t[v0 + 1, u0 + 1] * fv * fu).astype(np.float32)
+
+    def render(self, T_c_w_R: np.ndarray, T_c_w_t: np.ndarray):
+        """(img_left, img_right, depth_left) for camera pose T_c_w."""
+        cfg = self.cfg
+        Rwc = T_c_w_R.T
+        C = -Rwc @ T_c_w_t
+        us, vs = np.meshgrid(np.arange(cfg.width), np.arange(cfg.height))
+
+        def render_cam(offset_x):
+            C_cam = C + Rwc @ np.array([offset_x, 0.0, 0.0])
+            d_c = np.stack([(us - cfg.cx) / cfg.fx, (vs - cfg.cy) / cfg.fy,
+                            np.ones_like(us, np.float32)], axis=-1)
+            d_w = d_c @ Rwc.T
+            dz = np.where(np.abs(d_w[..., 2]) < 1e-9, 1e-9, d_w[..., 2])
+            img = np.zeros((cfg.height, cfg.width), np.float32)
+            zbuf = np.full((cfg.height, cfg.width), np.inf, np.float32)
+            for k, zk in enumerate(self.depths):
+                lam = (zk - C_cam[2]) / dz
+                X = C_cam[0] + lam * d_w[..., 0]
+                Y = C_cam[1] + lam * d_w[..., 1]
+                x0, x1 = self.extents[k]
+                hit = (lam > 0) & (X >= x0) & (X <= x1) & (lam < zbuf)
+                if not hit.any():
+                    continue
+                img = np.where(hit, self._sample_tex(k, X, Y), img)
+                zbuf = np.where(hit, lam, zbuf)
+            # Camera-frame z of the hit point (rays have unit z in cam frame,
+            # so depth along camera z = lam * (R_cw d_w)_z = lam * d_c_z = lam).
+            return img, np.where(np.isfinite(zbuf), zbuf, 0.0).astype(np.float32)
+
+        img_l, depth_l = render_cam(0.0)
+        img_r, _ = render_cam(cfg.baseline)
+        return img_l, img_r, depth_l
+
+
 def export_euroc_sequence(outdir, num_frames: int = 30, fps: float = 20.0,
                           imu_rate: float = 200.0, seed: int = 0,
                           plane_depth: float = 8.0, step: float = 0.03):

@@ -6,7 +6,8 @@ import pytest
 
 from flvis_tpu.config import BackendConfig, FrontendConfig, SystemConfig
 from flvis_tpu.geometry import camera
-from flvis_tpu.io.synthetic import PlanarScene, SceneConfig, orbit_trajectory
+from flvis_tpu.io.synthetic import (MultiPlaneScene, PlanarScene, SceneConfig,
+                                    orbit_trajectory)
 from flvis_tpu.pipeline.runner import SlamSystem
 
 
@@ -154,3 +155,59 @@ class TestChunkReplay:
                                                cfg.backend.window_size)
         C = sys_.trajectory_cam_centers()
         assert np.all(np.isfinite(C))
+
+
+class TestMultiDepthScene:
+    def test_ate_on_multi_plane_structure(self):
+        """Golden run on a scene with real depth VARIATION (occluding slabs
+        at 4/7/12 m): exercises disparity spread, occlusion boundaries and
+        the non-degenerate epipolar case the single plane cannot.  Full
+        system (frontend + window BA + feedback), chunked replay."""
+        scfg = SceneConfig()
+        scene = MultiPlaneScene(scfg, depths=(4.0, 7.0, 12.0), seed=3)
+        poses = orbit_trajectory(24, step=0.03)
+        cfg = SystemConfig(
+            frontend=FrontendConfig(width=scfg.width, height=scfg.height,
+                                    num_slots=128, pyramid_levels=3, per_cell=8,
+                                    min_distance=12.0, margin=22),
+            backend=BackendConfig(window_size=5, max_landmarks=256,
+                                  iters1=8, iters2=4),
+        )
+        cam = camera.make(scfg.fx, scfg.fy, scfg.cx, scfg.cy, scfg.baseline,
+                          width=scfg.width, height=scfg.height)
+        sys_ = SlamSystem(cfg, cam)
+        frames = [scene.render(R, t) for (R, t) in poses]
+        chunk = 8
+        for c0 in range(0, len(frames), chunk):
+            batch = frames[c0:c0 + chunk]
+            sys_.process_frames(np.stack([b[0] for b in batch]),
+                                np.stack([b[1] for b in batch]))
+        C_est = sys_.trajectory_cam_centers()
+        C_gt = np.asarray([-R.T @ t for (R, t) in poses])
+        ate = np.sqrt(np.mean(np.sum((C_est - C_gt) ** 2, axis=-1)))
+        path = 0.03 * len(poses)
+        assert ate < 0.02 * path + 0.01, f"ATE {ate:.4f} m over {path:.2f} m"
+
+    def test_depth_render_consistency(self):
+        """Rendered stereo disparity must match the rendered depth map:
+        d = fx·b/z ⇒ sampling the right image at (u−d, v) reproduces the
+        left image away from occlusion boundaries."""
+        scfg = SceneConfig()
+        scene = MultiPlaneScene(scfg, depths=(4.0, 9.0), seed=1)
+        R0 = np.eye(3, dtype=np.float32)
+        t0 = np.zeros(3, np.float32)
+        l, r, z = scene.render(R0, t0)
+        ys, xs = np.mgrid[40:scfg.height - 40:24, 40:scfg.width - 40:24]
+        ok = err = 0
+        for y, x in zip(ys.ravel(), xs.ravel()):
+            d = scfg.fx * scfg.baseline / z[y, x]
+            xr = x - d
+            if xr < 1 or xr > scfg.width - 2:
+                continue
+            x0 = int(xr); f = xr - x0
+            val = r[y, x0] * (1 - f) + r[y, x0 + 1] * f
+            ok += 1
+            err += abs(float(val) - float(l[y, x]))
+        assert ok > 50
+        # Mean photometric error small (bilinear resample + occlusions).
+        assert err / ok < 12.0, err / ok
