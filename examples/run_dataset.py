@@ -120,18 +120,26 @@ def main():
     n = min(args.frames or len(ds), len(ds))
     t0 = time.perf_counter()
     if args.chunk > 1:
-        if args.imu:
-            raise SystemExit("--chunk replay does not support --imu "
-                             "(feedforward needs per-frame dispatch)")
         buf = []
         done = 0
         for fr in ds.frames(stop=n):
             buf.append(fr)
             if len(buf) == args.chunk:
-                outs = slam.process_frames(
-                    np.stack([f.img0 for f in buf]),
-                    np.stack([f.img1 for f in buf]),
-                    ts=np.asarray([f.t for f in buf]))
+                if args.imu:
+                    # Fused VIO chunk: IMU propagation + feedforward +
+                    # tracking + BA + feedback in one device program.
+                    outs = slam.process_frames_vio(
+                        np.stack([f.img0 for f in buf]),
+                        np.stack([f.img1 for f in buf]),
+                        ts=np.asarray([f.t for f in buf]),
+                        imu_acc=[f.imu_acc for f in buf],
+                        imu_gyro=[f.imu_gyro for f in buf],
+                        imu_t=[f.imu_t for f in buf])
+                else:
+                    outs = slam.process_frames(
+                        np.stack([f.img0 for f in buf]),
+                        np.stack([f.img1 for f in buf]),
+                        ts=np.asarray([f.t for f in buf]))
                 done += len(buf)
                 status = ["UNINIT", "TRACK", "FAIL"][int(outs.status[-1])]
                 print(f"frame {done:5d}/{n}  {status}  "
@@ -139,6 +147,8 @@ def main():
                       f"kfs={len(slam.keyframes)}", flush=True)
                 buf = []
         for f in buf:  # tail shorter than a chunk: stepwise
+            if args.imu and getattr(f, "imu_t", None) is not None and len(f.imu_t):
+                slam.feed_imu(f.imu_acc, f.imu_gyro, f.imu_t)
             slam.process_frame(f.img0, f.img1, t_img=f.t)
     else:
         for i, fr in enumerate(ds.frames(stop=n)):

@@ -126,6 +126,95 @@ def _chunk_fused(fcfg, bcfg, cam, fe_state, ba_state, corr, imgs0, imgs1):
     return fe_state, ba_state, corr, ys
 
 
+@functools.partial(jax.jit, static_argnames=("fcfg", "bcfg", "vcfg"))
+def _chunk_fused_vio(fcfg, bcfg, vcfg, cam, T_i_c, fe_state, ba_state,
+                     vio_state, corr, imgs0, imgs1, ts, acc, gyro, imu_t,
+                     imu_valid):
+    """_chunk_fused with the full VIO loop inside the scan step: per-frame
+    IMU batch propagation (imu_feed_batch), feedforward pose query
+    (get_frame_state), roll/pitch compensation of the vision pose
+    (rp_compensate_pose, f2f_tracking.cpp:251-254) and vision→IMU bias
+    feedback (correction_from_vision) — the whole feedforward-feedback loop
+    the system is named after, with zero per-frame host dispatch.
+
+    Args beyond _chunk_fused: ts (T,) image times; acc/gyro (T, P, 3),
+    imu_t (T, P), imu_valid (T, P) — per-frame IMU sample batches padded to
+    a fixed P (see pack_imu_frames).
+    """
+    null = window_ba.null_correction(bcfg)
+
+    def step(carry, xs):
+        fe, ba, vio, corr = carry
+        i0, i1, t_img, a, g, it, iv = xs
+        vio = vimotion.imu_feed_batch(vcfg, vio, a, g, it, iv)
+        ff = vimotion.get_frame_state(vio, t_img, T_i_c)
+        fe = tracker.apply_correction(fe, corr)          # backend feedback
+        cv = se3m.compose(se3m.exp(fe.velocity), fe.T_prev)
+        prior = jax.tree.map(lambda x, y: jnp.where(ff.ok, x, y),
+                             ff.T_c_w, cv)
+        fe, out = tracker.track_frame(fcfg, cam, fe, i0, i1,
+                                      prior_T=prior, use_prior=True)
+        # Roll/pitch feedforward blend (weight cfg.vio.rp_blend) applied to
+        # the vision pose, rebasing the tracker's pose chain onto it.
+        T_blend = vimotion.rp_compensate_pose(vcfg, out.T_c_w, ff.q_w_i, T_i_c)
+        do_blend = ff.ok & (out.status == tracker.STATUS_TRACKING)
+        T_out = jax.tree.map(lambda x, y: jnp.where(do_blend, x, y),
+                             T_blend, out.T_c_w)
+        pose_corr = null._replace(frame_id=fe.frame_id - 1,
+                                  q=T_out.q, t=T_out.t, valid=do_blend)
+        fe = tracker.apply_correction(fe, pose_corr)
+        out = out._replace(T_c_w=T_out)
+
+        ba = jax.lax.cond(out.reset_backend,
+                          lambda b: window_ba.reset(bcfg, b),
+                          lambda b: b, ba)
+        pkt = tracker.make_keyframe_packet(fe, out)
+
+        def do_kf(b):
+            st = window_ba.add_keyframe(bcfg, b, pkt)
+            res = window_ba.optimize(bcfg, cam, st)
+            return res.state, res.correction, res.cost
+
+        def no_kf(b):
+            return b, null, jnp.asarray(0.0, jnp.float32)
+
+        ba, corr_new, cost = jax.lax.cond(out.is_keyframe, do_kf, no_kf, ba)
+        vio = jax.lax.cond(
+            out.status == tracker.STATUS_TRACKING,
+            lambda v: vimotion.correction_from_vision(vcfg, v, t_img, T_out,
+                                                      T_i_c),
+            lambda v: v, vio)
+        return (fe, ba, vio, corr_new), (out, pkt, corr_new, cost)
+
+    (fe_state, ba_state, vio_state, corr), ys = jax.lax.scan(
+        step, (fe_state, ba_state, vio_state, corr),
+        (imgs0, imgs1, ts, acc, gyro, imu_t, imu_valid))
+    return fe_state, ba_state, vio_state, corr, ys
+
+
+def pack_imu_frames(imu_accs, imu_gyros, imu_ts, pad: int = 16):
+    """Pack per-frame IMU sample lists into fixed-shape (T, pad, ·) arrays
+    with validity masks for _chunk_fused_vio.  Frames with more than `pad`
+    samples keep the newest `pad` (EuRoC/D435i run ~10/frame at 200 Hz)."""
+    T = len(imu_ts)
+    acc = np.zeros((T, pad, 3), np.float32)
+    gyro = np.zeros((T, pad, 3), np.float32)
+    t = np.zeros((T, pad), np.float32)
+    valid = np.zeros((T, pad), bool)
+    for i in range(T):
+        n = len(imu_ts[i])
+        if n > pad:
+            sl = slice(n - pad, n)
+            n = pad
+        else:
+            sl = slice(0, n)
+        acc[i, :n] = np.asarray(imu_accs[i], np.float32)[sl]
+        gyro[i, :n] = np.asarray(imu_gyros[i], np.float32)[sl]
+        t[i, :n] = np.asarray(imu_ts[i], np.float32)[sl]
+        valid[i, :n] = True
+    return acc, gyro, t, valid
+
+
 class SlamSystem:
     """Stereo(+IMU) SLAM engine instance for one sequence."""
 
@@ -190,6 +279,7 @@ class SlamSystem:
 
         prior = None
         use_prior = False
+        ff = None
         if self.use_imu:
             ff = vimotion.get_frame_state(self.vio_state, jnp.asarray(t_img), self.T_i_c)
             if bool(ff.ok):
@@ -201,6 +291,18 @@ class SlamSystem:
             jnp.asarray(img0), jnp.asarray(img1),
             prior_T=prior, use_prior=use_prior,
         )
+
+        if use_prior and bool(out.status == tracker.STATUS_TRACKING):
+            # Roll/pitch feedforward compensation (f2f_tracking.cpp:251-254):
+            # blend the IMU attitude's gravity-observable components into the
+            # vision pose and rebase the tracker's pose chain onto it.
+            T_blend = vimotion.rp_compensate_pose(cfg.vio, out.T_c_w,
+                                                  ff.q_w_i, self.T_i_c)
+            pose_corr = window_ba.null_correction(cfg.backend)._replace(
+                frame_id=jnp.asarray(self._frames_processed, jnp.int32),
+                q=T_blend.q, t=T_blend.t, valid=jnp.asarray(True))
+            self.fe_state = tracker.apply_correction(self.fe_state, pose_corr)
+            out = out._replace(T_c_w=T_blend)
 
         if bool(out.reset_backend):
             # KFMSG_CMD_RESET_LM: wipe the window (vo_localmap.cpp:89-98).
@@ -264,9 +366,44 @@ class SlamSystem:
         self.fe_state, self.ba_state, self.pending_corr, ys = _chunk_fused(
             cfg.frontend, cfg.backend, self.cam,
             self.fe_state, self.ba_state, corr0, imgs0, imgs1)
+        return self._finish_chunk(ys, imgs0, imgs1, ts, T)
+
+    def process_frames_vio(self, imgs0, imgs1, ts, imu_acc, imu_gyro, imu_t,
+                           imu_pad: int = 16):
+        """Chunked VIO replay (EuRoC mode): the whole chunk — IMU
+        propagation, feedforward pose priors, tracking, RP compensation,
+        keyframe window BA, correction feedback, and vision→IMU bias
+        feedback — runs as ONE device program (_chunk_fused_vio).
+
+        Args:
+          imgs0/imgs1: (T, H, W) stacked rectified stereo frames.
+          ts: (T,) image timestamps (seconds, same clock as imu_t).
+          imu_acc/imu_gyro/imu_t: length-T lists of per-frame IMU sample
+            arrays (the samples since the previous frame, ENU-remapped).
+          imu_pad: fixed per-frame IMU slot count (static shape).
+        Returns the stacked FrameOutput (host numpy pytree).
+        """
+        cfg = self.cfg
+        corr0 = (self.pending_corr if self.pending_corr is not None
+                 else window_ba.null_correction(cfg.backend))
+        imgs0 = jnp.asarray(imgs0)
+        imgs1 = jnp.asarray(imgs1)
+        T = imgs0.shape[0]
+        acc, gyro, it, iv = pack_imu_frames(imu_acc, imu_gyro, imu_t, imu_pad)
+        (self.fe_state, self.ba_state, self.vio_state, self.pending_corr,
+         ys) = _chunk_fused_vio(
+            cfg.frontend, cfg.backend, cfg.vio, self.cam, self.T_i_c,
+            self.fe_state, self.ba_state, self.vio_state, corr0,
+            imgs0, imgs1, jnp.asarray(np.asarray(ts, np.float32)),
+            jnp.asarray(acc), jnp.asarray(gyro), jnp.asarray(it),
+            jnp.asarray(iv))
+        return self._finish_chunk(ys, imgs0, imgs1, ts, T)
+
+    def _finish_chunk(self, ys, imgs0, imgs1, ts, T):
+        """Host bookkeeping after a fused chunk program: ONE packed device
+        fetch, then keyframe/trajectory/loop-closing handling."""
         outs, pkts, corrs, costs = ys
-        corr_valids = corrs.valid
-        packed = np.asarray(_pack_outputs(outs, costs, corr_valids))
+        packed = np.asarray(_pack_outputs(outs, costs, corrs.valid))
         outs_np = _unpack_outputs(packed)
         first_fid = self._frames_processed
         self._frames_processed += T

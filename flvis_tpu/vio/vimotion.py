@@ -241,6 +241,20 @@ def vision_rp_compensation(q_vision_w_i, q_imu_w_i, blend):
     return so3.from_euler_zyx(blended)
 
 
+def rp_compensate_pose(cfg: VioConfig, T_c_w_vision: SE3, q_w_i_imu,
+                       T_i_c: SE3) -> SE3:
+    """Blend the IMU-propagated roll/pitch into a vision camera pose — the
+    pipeline wiring of viVisionRPCompensation (f2f_tracking.cpp:251-254;
+    weight = vifusion_para2 = cfg.rp_blend).  Converts the camera pose to
+    the IMU/world frame (where gravity aligns roll/pitch), blends attitude
+    only, keeps the vision position, and converts back."""
+    T_w_c = se3m.inverse(T_c_w_vision)
+    T_w_i_vis = se3m.compose(T_w_c, se3m.inverse(T_i_c))
+    q_blend = vision_rp_compensation(T_w_i_vis.q, q_w_i_imu, cfg.rp_blend)
+    T_w_i = SE3(so3.normalize(q_blend), T_w_i_vis.t)
+    return se3m.inverse(se3m.compose(T_w_i, T_i_c))
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
 def correction_from_vision(cfg: VioConfig, state: VioState, t_img, T_c_w_vision: SE3,
                            T_i_c: SE3):

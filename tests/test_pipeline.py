@@ -157,6 +157,62 @@ class TestChunkReplay:
         assert np.all(np.isfinite(C))
 
 
+class TestVioChunk:
+    def test_fused_vio_chunk_matches_stepwise(self, tmp_path):
+        """EuRoC-mode chunked replay: the fused VIO chunk program (IMU
+        propagation + feedforward prior + RP compensation + window BA +
+        vision feedback inside one lax.scan) must track a synthetic
+        EuRoC-format sequence as well as the stepwise IMU path, and both
+        must beat the ATE bound."""
+        from flvis_tpu.io.euroc import EurocDataset
+        from flvis_tpu.io.synthetic import export_euroc_sequence
+
+        export_euroc_sequence(str(tmp_path), num_frames=16, seed=6)
+        ds = EurocDataset(str(tmp_path))
+        frames = list(ds.frames())
+        cam = ds.camera
+        cfg = SystemConfig(
+            frontend=FrontendConfig(width=cam.width, height=cam.height,
+                                    num_slots=128, pyramid_levels=3, per_cell=8,
+                                    min_distance=12.0, margin=22),
+            backend=BackendConfig(window_size=5, max_landmarks=256,
+                                  iters1=6, iters2=3),
+        )
+
+        def ate(sys_):
+            C = sys_.trajectory_cam_centers()
+            ts = np.asarray([t for (_, t, _, _) in sys_.trajectory])
+            from flvis_tpu.utils import evaluation
+            ia, ib = evaluation.associate(ts, ds.gt_t)
+            rmse, _ = evaluation.ate_rmse(C[ia], ds.gt_pos[ib])
+            return rmse
+
+        sys_a = SlamSystem(cfg, cam, T_i_c=ds.T_i_c, use_imu=True)
+        for fr in frames:
+            if len(fr.imu_t):
+                sys_a.feed_imu(fr.imu_acc, fr.imu_gyro, fr.imu_t)
+            sys_a.process_frame(fr.img0, fr.img1, t_img=fr.t)
+
+        sys_b = SlamSystem(cfg, cam, T_i_c=ds.T_i_c, use_imu=True)
+        chunk = 8
+        for c0 in range(0, len(frames), chunk):
+            b = frames[c0:c0 + chunk]
+            sys_b.process_frames_vio(
+                np.stack([f.img0 for f in b]), np.stack([f.img1 for f in b]),
+                ts=np.asarray([f.t for f in b]),
+                imu_acc=[f.imu_acc for f in b],
+                imu_gyro=[f.imu_gyro for f in b],
+                imu_t=[f.imu_t for f in b])
+
+        ate_a, ate_b = ate(sys_a), ate(sys_b)
+        assert ate_a < 0.02, f"stepwise VIO ATE {ate_a:.4f} m"
+        assert ate_b < 0.02, f"fused VIO chunk ATE {ate_b:.4f} m"
+        # Same semantics → closely matching trajectories.
+        ta = np.asarray([t for (_, _, _, t) in sys_a.trajectory])
+        tb = np.asarray([t for (_, _, _, t) in sys_b.trajectory])
+        np.testing.assert_allclose(ta, tb, atol=2e-3)
+
+
 class TestMultiDepthScene:
     def test_ate_on_multi_plane_structure(self):
         """Golden run on a scene with real depth VARIATION (occluding slabs
