@@ -147,6 +147,42 @@ class PlanarScene:
         return img_l, img_r, depth_l
 
 
+def imu_from_trajectory(poses, fps: float, imu_rate: float = 200.0,
+                        t0: float = 100.0, gravity: float = 9.81):
+    """Trajectory-consistent synthetic IMU: body rates from the relative
+    rotation between consecutive poses, accel = R_bw(C'' + g) — the same
+    model export_euroc_sequence writes to imu0/data.csv.
+
+    Args:
+      poses: list of (R, t) world→camera poses (body ≈ cam, T_i_c = I).
+      fps: camera rate; imu_rate: IMU sample rate.
+    Returns (imu_t (M,), gyro (M, 3), acc (M, 3), frame_t (N,)).
+    """
+    num_frames = len(poses)
+    centers = np.asarray([-R.T @ t for (R, t) in poses])
+    n_imu = int(num_frames / fps * imu_rate)
+    t_imu = t0 + np.arange(n_imu) / imu_rate
+    tt = t0 + np.arange(num_frames) / fps
+    acc_w = np.zeros((n_imu, 3))
+    for d in range(3):
+        c_i = np.interp(t_imu, tt, centers[:, d])
+        acc_w[1:-1, d] = (c_i[2:] - 2 * c_i[1:-1] + c_i[:-2]) * imu_rate ** 2
+    from scipy.spatial.transform import Rotation as _Rot
+
+    omegas = np.zeros((num_frames, 3))
+    for k in range(num_frames - 1):
+        R_rel = poses[k + 1][0] @ poses[k][0].T
+        omegas[k] = _Rot.from_matrix(R_rel).as_rotvec() * fps
+    gyro = np.zeros((n_imu, 3), np.float32)
+    acc = np.zeros((n_imu, 3), np.float32)
+    for k in range(n_imu):
+        fidx = min(int((t_imu[k] - t0) * fps), num_frames - 1)
+        Rk = poses[fidx][0]
+        acc[k] = Rk @ (acc_w[k] + np.array([0.0, 0.0, gravity]))
+        gyro[k] = omegas[fidx]
+    return t_imu.astype(np.float32), gyro, acc, tt.astype(np.float32)
+
+
 class MultiPlaneScene:
     """Several occluding textured fronto-parallel slabs at different depths.
 
@@ -280,28 +316,11 @@ def export_euroc_sequence(outdir, num_frames: int = 30, fps: float = 20.0,
     # relative rotation between consecutive poses, accel = R_bw(C'' - g).
     centers = np.asarray(centers)
     os.makedirs(os.path.join(mav, "imu0"), exist_ok=True)
-    n_imu = int(num_frames / fps * imu_rate)
-    t_imu = t0 + np.arange(n_imu) / imu_rate
-    tt = t0 + np.arange(num_frames) / fps
-    acc_w = np.zeros((n_imu, 3))
-    for d in range(3):
-        c_i = np.interp(t_imu, tt, centers[:, d])
-        acc_w[1:-1, d] = (c_i[2:] - 2 * c_i[1:-1] + c_i[:-2]) * imu_rate ** 2
-    # Per-frame body rates ω from log(R_k R_{k+1}ᵀ)·fps, held constant
-    # between frames (orbit poses are world→cam; body ≈ cam here).
-    from scipy.spatial.transform import Rotation as _Rot
-
-    omegas = np.zeros((num_frames, 3))
-    for k in range(num_frames - 1):
-        R_rel = poses[k + 1][0] @ poses[k][0].T
-        omegas[k] = _Rot.from_matrix(R_rel).as_rotvec() * fps
+    t_imu, gyro, acc, _ = imu_from_trajectory(poses, fps, imu_rate, t0)
     with open(os.path.join(mav, "imu0", "data.csv"), "w") as f:
         f.write("#timestamp [ns],w_x,w_y,w_z,a_x,a_y,a_z\n")
-        for k in range(n_imu):
-            fidx = min(int((t_imu[k] - t0) * fps), num_frames - 1)
-            Rk = poses[fidx][0]
-            a = Rk @ (acc_w[k] + np.array([0.0, 0.0, 9.81]))
-            w = omegas[fidx]  # already expressed in the body (cam_k) frame
+        for k in range(len(t_imu)):
+            w, a = gyro[k], acc[k]
             f.write(f"{int(1e9 * t_imu[k])},{w[0]:.6f},{w[1]:.6f},{w[2]:.6f},"
                     f"{a[0]:.6f},{a[1]:.6f},{a[2]:.6f}\n")
 
