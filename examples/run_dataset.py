@@ -115,6 +115,8 @@ def main():
                             pyramid_levels=4, per_cell=16,
                             depth_mode=depth_mode)
         cfg = SystemConfig(frontend=fe, backend=BackendConfig())
+    if args.imu and args.dataset == "kitti":
+        raise SystemExit("--imu: KITTI odometry sequences carry no IMU data")
     slam = SlamSystem(cfg, cam, T_i_c=T_i_c, use_imu=args.imu, use_loop=args.loop)
 
     n = min(args.frames or len(ds), len(ds))

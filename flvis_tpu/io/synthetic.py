@@ -180,7 +180,9 @@ def imu_from_trajectory(poses, fps: float, imu_rate: float = 200.0,
         Rk = poses[fidx][0]
         acc[k] = Rk @ (acc_w[k] + np.array([0.0, 0.0, gravity]))
         gyro[k] = omegas[fidx]
-    return t_imu.astype(np.float32), gyro, acc, tt.astype(np.float32)
+    # Timestamps stay float64: the EuRoC exporter writes exact nanosecond
+    # CSV values from them (a float32 cast would jitter them by ~8 us).
+    return t_imu, gyro, acc, tt
 
 
 class MultiPlaneScene:
@@ -199,7 +201,6 @@ class MultiPlaneScene:
                  texture_scale: float = 4.0):
         self.cfg = cfg
         self.depths = sorted(depths)          # near → far; last = background
-        rng = np.random.default_rng(seed)
         self.tex_h = int(cfg.height * texture_scale)
         self.tex_w = int(cfg.width * texture_scale)
         self.texs = [textured_image(np.random.default_rng(seed + 7 * k),

@@ -80,6 +80,27 @@ def _unpack_outputs(packed: np.ndarray):
     )
 
 
+def _ba_tail(fcfg, bcfg, cam, null, fe, ba, out):
+    """Shared backend tail of the fused scan bodies: reset handling,
+    keyframe packet, and the conditional add_keyframe + window-BA optimize.
+    Returns (ba, pkt, corr_new, cost)."""
+    ba = jax.lax.cond(out.reset_backend,
+                      lambda b: window_ba.reset(bcfg, b),
+                      lambda b: b, ba)
+    pkt = tracker.make_keyframe_packet(fe, out)
+
+    def do_kf(b):
+        st = window_ba.add_keyframe(bcfg, b, pkt)
+        res = window_ba.optimize(bcfg, cam, st)
+        return res.state, res.correction, res.cost
+
+    def no_kf(b):
+        return b, null, jnp.asarray(0.0, jnp.float32)
+
+    ba, corr_new, cost = jax.lax.cond(out.is_keyframe, do_kf, no_kf, ba)
+    return ba, pkt, corr_new, cost
+
+
 @functools.partial(jax.jit, static_argnames=("fcfg", "bcfg"))
 def _chunk_fused(fcfg, bcfg, cam, fe_state, ba_state, corr, imgs0, imgs1):
     """Frontend tracking AND per-keyframe window BA for a whole chunk as ONE
@@ -104,21 +125,8 @@ def _chunk_fused(fcfg, bcfg, cam, fe_state, ba_state, corr, imgs0, imgs1):
         i0, i1 = xs
         fe = tracker.apply_correction(fe, corr)          # no-op when !valid
         fe, out = tracker.track_frame(fcfg, cam, fe, i0, i1)
-        # KFMSG_CMD_RESET_LM: wipe the window (vo_localmap.cpp:89-98).
-        ba = jax.lax.cond(out.reset_backend,
-                          lambda b: window_ba.reset(bcfg, b),
-                          lambda b: b, ba)
-        pkt = tracker.make_keyframe_packet(fe, out)
-
-        def do_kf(b):
-            st = window_ba.add_keyframe(bcfg, b, pkt)
-            res = window_ba.optimize(bcfg, cam, st)
-            return res.state, res.correction, res.cost
-
-        def no_kf(b):
-            return b, null, jnp.asarray(0.0, jnp.float32)
-
-        ba, corr_new, cost = jax.lax.cond(out.is_keyframe, do_kf, no_kf, ba)
+        # KFMSG_CMD_RESET_LM reset + keyframe BA (vo_localmap.cpp:89-98).
+        ba, pkt, corr_new, cost = _ba_tail(fcfg, bcfg, cam, null, fe, ba, out)
         return (fe, ba, corr_new), (out, pkt, corr_new, cost)
 
     (fe_state, ba_state, corr), ys = jax.lax.scan(
@@ -165,20 +173,7 @@ def _chunk_fused_vio(fcfg, bcfg, vcfg, cam, T_i_c, fe_state, ba_state,
         fe = tracker.apply_correction(fe, pose_corr)
         out = out._replace(T_c_w=T_out)
 
-        ba = jax.lax.cond(out.reset_backend,
-                          lambda b: window_ba.reset(bcfg, b),
-                          lambda b: b, ba)
-        pkt = tracker.make_keyframe_packet(fe, out)
-
-        def do_kf(b):
-            st = window_ba.add_keyframe(bcfg, b, pkt)
-            res = window_ba.optimize(bcfg, cam, st)
-            return res.state, res.correction, res.cost
-
-        def no_kf(b):
-            return b, null, jnp.asarray(0.0, jnp.float32)
-
-        ba, corr_new, cost = jax.lax.cond(out.is_keyframe, do_kf, no_kf, ba)
+        ba, pkt, corr_new, cost = _ba_tail(fcfg, bcfg, cam, null, fe, ba, out)
         vio = jax.lax.cond(
             out.status == tracker.STATUS_TRACKING,
             lambda v: vimotion.correction_from_vision(vcfg, v, t_img, T_out,
@@ -194,8 +189,14 @@ def _chunk_fused_vio(fcfg, bcfg, vcfg, cam, T_i_c, fe_state, ba_state,
 
 def pack_imu_frames(imu_accs, imu_gyros, imu_ts, pad: int = 16):
     """Pack per-frame IMU sample lists into fixed-shape (T, pad, ·) arrays
-    with validity masks for _chunk_fused_vio.  Frames with more than `pad`
-    samples keep the newest `pad` (EuRoC/D435i run ~10/frame at 200 Hz)."""
+    with validity masks for _chunk_fused_vio.
+
+    Raises on frames with more than `pad` samples — silently dropping IMU
+    data would make the chunked path diverge from stepwise feed_imu (which
+    pads to any size).  process_frames_vio pre-drains the only legitimately
+    oversized window (the first frame's pre-camera IMU history) before
+    packing.
+    """
     T = len(imu_ts)
     acc = np.zeros((T, pad, 3), np.float32)
     gyro = np.zeros((T, pad, 3), np.float32)
@@ -204,13 +205,12 @@ def pack_imu_frames(imu_accs, imu_gyros, imu_ts, pad: int = 16):
     for i in range(T):
         n = len(imu_ts[i])
         if n > pad:
-            sl = slice(n - pad, n)
-            n = pad
-        else:
-            sl = slice(0, n)
-        acc[i, :n] = np.asarray(imu_accs[i], np.float32)[sl]
-        gyro[i, :n] = np.asarray(imu_gyros[i], np.float32)[sl]
-        t[i, :n] = np.asarray(imu_ts[i], np.float32)[sl]
+            raise ValueError(
+                f"frame {i} carries {n} IMU samples > imu_pad={pad}; raise "
+                f"imu_pad (IMU-rate/frame-rate ratio exceeds the slot count)")
+        acc[i, :n] = np.asarray(imu_accs[i], np.float32)
+        gyro[i, :n] = np.asarray(imu_gyros[i], np.float32)
+        t[i, :n] = np.asarray(imu_ts[i], np.float32)
         valid[i, :n] = True
     return acc, gyro, t, valid
 
@@ -389,6 +389,19 @@ class SlamSystem:
         imgs0 = jnp.asarray(imgs0)
         imgs1 = jnp.asarray(imgs1)
         T = imgs0.shape[0]
+        # The first frame's window may carry the whole pre-camera IMU
+        # history (EuRoC's imu0 starts seconds before cam0) — feed all but
+        # the newest imu_pad samples through the stepwise path first; they
+        # precede every frame in the chunk, so ordering is preserved.
+        n0 = len(imu_t[0])
+        if n0 > imu_pad:
+            k = n0 - imu_pad
+            self.feed_imu(np.asarray(imu_acc[0])[:k],
+                          np.asarray(imu_gyro[0])[:k],
+                          np.asarray(imu_t[0])[:k])
+            imu_acc = [np.asarray(imu_acc[0])[k:]] + list(imu_acc[1:])
+            imu_gyro = [np.asarray(imu_gyro[0])[k:]] + list(imu_gyro[1:])
+            imu_t = [np.asarray(imu_t[0])[k:]] + list(imu_t[1:])
         acc, gyro, it, iv = pack_imu_frames(imu_acc, imu_gyro, imu_t, imu_pad)
         (self.fe_state, self.ba_state, self.vio_state, self.pending_corr,
          ys) = _chunk_fused_vio(

@@ -213,6 +213,47 @@ class TestVioChunk:
         np.testing.assert_allclose(ta, tb, atol=2e-3)
 
 
+class TestImuPacking:
+    def test_first_frame_history_predrained_and_overflow_raises(self):
+        """The first frame of a chunk may carry the whole pre-camera IMU
+        history (EuRoC's imu0 starts before cam0): process_frames_vio must
+        pre-drain it through the stepwise feed instead of dropping samples;
+        an oversized MID-chunk window is a configuration error and raises."""
+        from flvis_tpu.pipeline.runner import pack_imu_frames
+
+        acc = [np.zeros((40, 3)), np.zeros((10, 3))]
+        gyro = [np.zeros((40, 3)), np.zeros((10, 3))]
+        ts = [np.arange(40) * 0.005, 0.2 + np.arange(10) * 0.005]
+        with pytest.raises(ValueError):
+            pack_imu_frames(acc, gyro, ts, pad=16)
+
+        scfg = SceneConfig()
+        scene = PlanarScene(scfg, plane_depth=8.0, seed=4)
+        poses = orbit_trajectory(2, step=0.03)
+        cfg = SystemConfig(
+            frontend=FrontendConfig(width=scfg.width, height=scfg.height,
+                                    num_slots=64, pyramid_levels=2, per_cell=4,
+                                    min_distance=12.0, margin=22),
+            backend=BackendConfig(window_size=3, max_landmarks=128,
+                                  iters1=2, iters2=1),
+        )
+        cam = camera.make(scfg.fx, scfg.fy, scfg.cx, scfg.cy, scfg.baseline,
+                          width=scfg.width, height=scfg.height)
+        sys_ = SlamSystem(cfg, cam, use_imu=True)
+        frames = [scene.render(R, t)[:2] for (R, t) in poses]
+        # First frame carries 40 samples of static pre-camera history.
+        g = np.zeros((40, 3), np.float32)
+        a = np.tile(np.asarray([0, 0, 9.81], np.float32), (40, 1))
+        t_hist = (np.arange(40) * 0.005).astype(np.float32)
+        sys_.process_frames_vio(
+            np.stack([f[0] for f in frames]), np.stack([f[1] for f in frames]),
+            ts=np.asarray([0.2, 0.25]),
+            imu_acc=[a, a[:10]], imu_gyro=[g, g[:10]],
+            imu_t=[t_hist, (0.2 + np.arange(10) * 0.005).astype(np.float32)])
+        # All 50 samples reached the VIO ring (none dropped).
+        assert int(sys_.vio_state.count) == 50
+
+
 class TestMultiDepthScene:
     def test_ate_on_multi_plane_structure(self):
         """Golden run on a scene with real depth VARIATION (occluding slabs

@@ -38,7 +38,6 @@ def main():
         # relative poses, node estimates accumulated with a small yaw-rate
         # bias (drift), loop edge closing node K-1 to node 0.
         E = 5 * K + 8
-        g = pg.empty(K, E)
         th = np.linspace(0, 2 * np.pi, K, endpoint=False)
         qs, ts = [], []
         for i in range(K):
@@ -52,7 +51,6 @@ def main():
         node_t = node_t + jnp.stack(
             [drift * 0.01, drift * 0.005, jnp.zeros(K)], -1)
         ei, ej, eq, et = [], [], [], []
-        T_all = se3.SE3(node_q, node_t)
         for i in range(K):
             for d in range(1, 6):
                 j = i + d
