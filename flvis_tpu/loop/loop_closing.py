@@ -120,53 +120,99 @@ def _verify_device(desc_s, kpv_s, pcv_s, pc_s, uv_s, node_q, node_t, i, j,
 
 
 @functools.partial(jax.jit, static_argnames=("n_pad", "n_succ"))
-def _build_graph(q_odom, t_odom, node_q, node_t, n,
+def _build_graph(q_odom, t_odom, node_q, node_t, i0, wn,
                  loop_i, loop_j, loop_q, loop_t, loop_valid,
                  n_pad: int, n_succ: int):
-    """Assemble the PGO problem in ONE device program: nodes from the
-    corrected pose table, sequential odometry edges to n_succ successors
-    (weight 1/s) computed batched over the whole odometry table, plus
-    padded loop edges (weight 5).  Replaces a host loop of O(n·n_succ)
-    edge insertions (the reference builds its g2o graph edge-by-edge,
-    vo_loopclosing.cpp:834-875)."""
+    """Assemble the PGO problem over the LOOP WINDOW [i0, i0+wn) in ONE
+    device program: nodes gathered from the corrected pose table,
+    sequential odometry edges to n_succ successors (weight 1/s) computed
+    batched, plus padded loop edges (weight 5; indices window-local).
+    The reference restricts its pose graph to exactly this window —
+    [first loop id, last loop id] — and builds it edge-by-edge
+    (vo_loopclosing.cpp:747-780, 834-875).  Edge ordering matters: the
+    n_succ·n_pad sequential edges come FIRST so pose_graph.optimize_banded
+    can treat them as the block-tridiagonal band."""
     a = jnp.arange(n_pad)
     loop_pad = loop_i.shape[0]
+    rows = jnp.minimum(i0 + a, q_odom.shape[0] - 1)
+    q_o, t_o = q_odom[rows], t_odom[rows]
     ei, ej, eq, et, ev, ew = [], [], [], [], [], []
-    Ta = SE3(q_odom[:n_pad], t_odom[:n_pad])
+    Ta = SE3(q_o, t_o)
     for s in range(1, n_succ + 1):
         b = jnp.minimum(a + s, n_pad - 1)
-        rel = se3m.compose(se3m.inverse(Ta), SE3(q_odom[b], t_odom[b]))
+        rel = se3m.compose(se3m.inverse(Ta), SE3(q_o[b], t_o[b]))
         ei.append(a.astype(jnp.int32))
         ej.append(b.astype(jnp.int32))
         eq.append(rel.q)
         et.append(rel.t)
-        ev.append(a + s < n)
+        ev.append(a + s < wn)
         ew.append(jnp.full(n_pad, 1.0 / s, jnp.float32))
-    ei.append(loop_i); ej.append(loop_j); eq.append(loop_q); et.append(loop_t)
+    ei.append(loop_i - i0); ej.append(loop_j - i0)
+    eq.append(loop_q); et.append(loop_t)
     ev.append(loop_valid)
     ew.append(jnp.full(loop_pad, 5.0, jnp.float32))
     return pose_graph.PoseGraph(
-        node_q=node_q[:n_pad], node_t=node_t[:n_pad], node_valid=a < n,
+        node_q=node_q[rows], node_t=node_t[rows], node_valid=a < wn,
         edge_i=jnp.concatenate(ei), edge_j=jnp.concatenate(ej),
         edge_q=jnp.concatenate(eq), edge_t=jnp.concatenate(et),
         edge_valid=jnp.concatenate(ev), edge_weight=jnp.concatenate(ew))
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1))
-def _apply_pgo(q_s, t_s, q_odom_s, t_odom_s, g_q, g_t, n):
-    """Write the optimized node poses back into the pose table (rows < n)
-    and recompute the map→odom drift transform from the latest keyframe
-    (corrected_latest ∘ odom_latest⁻¹ — the reference's tf map→odom,
-    vo_loopclosing.cpp:889-941)."""
+def _apply_pgo(q_s, t_s, q_odom_s, t_odom_s, g_q, g_t, i0, wn, n):
+    """Write the optimized window poses back into rows [i0, i0+wn) of the
+    pose table, recompute the map→odom drift from the LAST window keyframe
+    (corrected_last ∘ odom_last⁻¹), and re-base every keyframe AFTER the
+    window onto the new drift — the reference's post-PGO update
+    (vo_loopclosing.cpp:889-941: T_odom_map accumulation from the last
+    window node; kf_map_lc[i]->T_c_w = T_c_w_odom * T_odom_map for
+    i > window end).  Keyframes BEFORE the window are untouched."""
+    K = q_s.shape[0]
     n_pad = g_q.shape[0]
-    mask = (jnp.arange(n_pad) < n)[:, None]
-    q_s = q_s.at[:n_pad].set(jnp.where(mask, g_q, q_s[:n_pad]))
-    t_s = t_s.at[:n_pad].set(jnp.where(mask, g_t, t_s[:n_pad]))
-    last = n - 1
+    a = jnp.arange(n_pad)
+    in_win = a < wn
+    idx = jnp.where(in_win, i0 + a, K)          # OOB rows dropped by scatter
+    q_s = q_s.at[idx].set(g_q, mode="drop")
+    t_s = t_s.at[idx].set(g_t, mode="drop")
+    last = i0 + wn - 1
     T_mo = se3m.compose(
         SE3(q_s[last], t_s[last]),
         se3m.inverse(SE3(q_odom_s[last], t_odom_s[last])))
+    after = (jnp.arange(K) > last) & (jnp.arange(K) < n)
+    T_after = se3m.compose(T_mo, SE3(q_odom_s, t_odom_s))
+    q_s = jnp.where(after[:, None], T_after.q, q_s)
+    t_s = jnp.where(after[:, None], T_after.t, t_s)
     return q_s, t_s, T_mo.q, T_mo.t
+
+
+@functools.partial(jax.jit, static_argnames=("nkf",))
+def _gate_rows(db, valid_rows, ks, lo, hi, nkf: int):
+    """Loop-candidate gate for a BATCH of query keyframes, fully on device:
+    for each query k, the BoW similarity row, the best candidate in the
+    temporal window [lo, hi), and the neighbour-consistency count
+    (isLoopCandidate, vo_loopclosing.cpp:520-589).  Returns an (M, 4)
+    packed array [cand_idx, best_score, n_close, n_neighbours] — the ONLY
+    thing fetched to the host in the steady-state search path (the round-1
+    implementation fetched the full similarity row per keyframe: one ~27 ms
+    tunnel round trip per keyframe, which would have eaten the 3 ms/KF
+    ingest budget)."""
+    idxs = jnp.arange(db.shape[0])
+
+    def one(k, lo_k, hi_k):
+        sims = bow.score_database(db[k], db, valid_rows)
+        in_win = (idxs >= lo_k) & (idxs < hi_k)
+        sims_w = jnp.where(in_win, sims, -jnp.inf)
+        cand = jnp.argmax(sims_w)
+        best = sims_w[cand]
+        nb = (idxs >= jnp.maximum(lo_k, cand - nkf)) & \
+             (idxs < jnp.minimum(hi_k, cand + nkf + 1))
+        close = jnp.sum(jnp.where(nb, sims >= 0.8 * best, False)) - 1
+        navail = jnp.sum(nb) - 1
+        return jnp.stack([cand.astype(jnp.float32), best,
+                          close.astype(jnp.float32),
+                          navail.astype(jnp.float32)])
+
+    return jax.vmap(one)(ks, lo, hi)
 
 
 class _PoseView:
@@ -270,8 +316,11 @@ class LoopCloser:
         .cpp:181-392).  Returns this keyframe's index."""
         cfg = self.cfg
         k = self.count
-        if k >= cfg.max_keyframes:
-            raise RuntimeError("loop-closer keyframe capacity exceeded")
+        if k >= self.bow_db.shape[0]:
+            # Grow the database instead of crashing at capacity: KITTI-length
+            # sequences exceed any fixed budget.  Doubling keeps recompiles
+            # (jitted programs are shape-keyed) at O(log n) over a run.
+            self._grow()
         img_l = jnp.asarray(img_l)
         img_r = jnp.asarray(img_r)
         # Depth for ORB keypoints: rectified stereo LK (the reference's
@@ -335,6 +384,34 @@ class LoopCloser:
                               for c in self.closures], np.int64),
         )
 
+    def _grow(self) -> None:
+        """Double the keyframe-dimension capacity of every device table."""
+        K = self.bow_db.shape[0]
+
+        def zpad(a):
+            return jnp.concatenate(
+                [a, jnp.zeros((K,) + a.shape[1:], a.dtype)])
+
+        def qpad(a):
+            ident = jnp.tile(jnp.asarray([1.0, 0, 0, 0], a.dtype), (K, 1))
+            return jnp.concatenate([a, ident])
+
+        self.bow_db = zpad(self.bow_db)
+        if self._dist is not None:
+            self.bow_db, _ = self._dist.shard_db(
+                self.mesh, self.bow_db, jnp.zeros((2 * K,), bool))
+        self.kf_uv = zpad(self.kf_uv)
+        self.kf_desc = zpad(self.kf_desc)
+        self.kf_kp_valid = zpad(self.kf_kp_valid)
+        self.kf_pc = zpad(self.kf_pc)
+        self.kf_pc_valid = zpad(self.kf_pc_valid)
+        self.kf_q_odom = qpad(self.kf_q_odom)
+        self.kf_t_odom = zpad(self.kf_t_odom)
+        self.kf_q = qpad(self.kf_q)
+        self.kf_t = zpad(self.kf_t)
+        self.kf_frame_id = np.concatenate(
+            [self.kf_frame_id, np.full(K, -1, np.int64)])
+
     def _set_db_row(self, k: int, row) -> None:
         if self._dist is not None:
             self.bow_db = self._dist.set_row(self.mesh, self.bow_db,
@@ -374,19 +451,52 @@ class LoopCloser:
     # --------------------------------------------------------------- search
     def detect_loop(self, k: int) -> Optional[LoopClosure]:
         """Thread-B candidate search + geometric check for keyframe k."""
+        hits = self.detect_loops_batch([k])
+        return hits[0] if hits else None
+
+    def detect_loops_batch(self, ks) -> list:
+        """Candidate search + geometric check for a BATCH of keyframes
+        (the chunked-replay steady path): one device gate program + ONE
+        (M, 4) fetch for the whole batch; geometric verification (rare)
+        per surviving candidate.  Returns accepted LoopClosures."""
         cfg = self.cfg
-        if self.vocab is None or k < cfg.kf_start:
-            return None
-        valid_rows = jnp.arange(self.bow_db.shape[0]) < self.count
-        query = self.bow_db[k]
+        ks = [k for k in ks if k >= cfg.kf_start]
+        if self.vocab is None or not ks:
+            return []
         if self._dist is not None:
-            sims = np.asarray(self._dist.score_database_sharded(
-                self.mesh, query, self.bow_db, valid_rows))[: self.count]
-        else:
-            sims = np.asarray(
-                bow.score_database(query, self.bow_db, valid_rows)
-            )[: self.count]
-        # Temporal gate (lcKFDist) and window cap (lcKFMaxDist).
+            return [lc for k in ks
+                    for lc in (self._detect_sharded(k),) if lc is not None]
+        valid_rows = jnp.arange(self.bow_db.shape[0]) < self.count
+        los = np.asarray([max(0, k - cfg.kf_max_dist) for k in ks], np.int32)
+        his = np.asarray([k - cfg.kf_dist for k in ks], np.int32)
+        rows = np.asarray(_gate_rows(
+            self.bow_db, valid_rows, jnp.asarray(np.asarray(ks, np.int32)),
+            jnp.asarray(los), jnp.asarray(his), nkf=cfg.nkf_closest))
+        out = []
+        for (k, lo, hi, row) in zip(ks, los, his, rows):
+            if hi <= lo:
+                continue
+            cand, best, close, navail = int(row[0]), float(row[1]), \
+                int(row[2]), int(row[3])
+            if best < cfg.min_score:
+                continue
+            # Neighbour consistency: enough of the candidate's temporal
+            # neighbours must also score well (isLoopCandidate, 520-589).
+            if close < min(cfg.nkf_closest, navail):
+                continue
+            lc = self._verify(cand, k)
+            if lc is not None:
+                out.append(lc)
+        return out
+
+    def _detect_sharded(self, k: int) -> Optional[LoopClosure]:
+        """Candidate gate on a kf-sharded database (mesh mode): the sharded
+        matvec + argmax runs per query; the neighbour check fetches the
+        candidate's local window only."""
+        cfg = self.cfg
+        valid_rows = jnp.arange(self.bow_db.shape[0]) < self.count
+        sims = np.asarray(self._dist.score_database_sharded(
+            self.mesh, self.bow_db[k], self.bow_db, valid_rows))[: self.count]
         lo = max(0, k - cfg.kf_max_dist)
         hi = k - cfg.kf_dist
         if hi <= lo:
@@ -396,8 +506,6 @@ class LoopCloser:
         best = float(sims[cand])
         if best < cfg.min_score:
             return None
-        # Neighbour consistency: enough of the candidate's temporal
-        # neighbours must also score well (isLoopCandidate, 520-589).
         n0 = max(lo, cand - cfg.nkf_closest)
         n1 = min(hi, cand + cfg.nkf_closest + 1)
         close = np.sum(sims[n0:n1] >= 0.8 * best) - 1
@@ -435,21 +543,37 @@ class LoopCloser:
         return lc
 
     # ------------------------------------------------------------------ PGO
+    # Above this window size the dense (n_pad, n_pad, 6, 6) normal-equation
+    # solve (O(n³), 604 MB at 2048 nodes) switches to the O(n) block-
+    # tridiagonal + Woodbury solver.  Small graphs keep the dense path: it
+    # converges in fewer dispatches and its one-shot solve is faster than
+    # two Thomas scans at these sizes.
+    _BANDED_THRESHOLD = 256
+
     def optimize_graph(self):
-        """Pose-graph optimization over all keyframes with sequential edges
-        to 5 successors + accumulated loop edges; update poses and the
-        map→odom drift (loopClosureOnCovGraphG2ONew, 742-944)."""
+        """Pose-graph optimization over the LOOP WINDOW [first loop id,
+        last loop id] with sequential edges to 5 successors + accumulated
+        loop edges; keyframes before the window stay fixed, keyframes after
+        it are re-based onto the updated map→odom drift
+        (loopClosureOnCovGraphG2ONew, 742-944)."""
         cfg = self.cfg
         n = self.count
         if not self.closures or n < 2:
             return
-        # Pad node/edge counts to power-of-2 buckets: pose_graph.optimize is
-        # jitted per shape, and each XLA compile is expensive (remote-compile
+        # The reference's window: kf_prev_idx = min loop i, kf_curr_idx =
+        # max loop j (vo_loopclosing.cpp:745-753); only those nodes enter
+        # the graph, the first is held fixed.
+        i0 = min(lc.kf_i for lc in self.closures)
+        j1 = max(lc.kf_j for lc in self.closures)
+        wn = j1 - i0 + 1
+        # Pad node/edge counts to power-of-2 buckets: the solvers are jitted
+        # per shape, and each XLA compile is expensive (remote-compile
         # tunnel) — bucketing bounds recompiles at O(log n) over a run.
-        n_pad = min(cfg.max_keyframes, max(32, 1 << (n - 1).bit_length()))
-        # Loop edges are few; pad to 64-slot buckets.
+        n_pad = max(32, 1 << (wn - 1).bit_length())
+        # Loop edges are few; pad to 16-slot buckets (Woodbury memory and
+        # the dense correction solve scale with the bucket).
         L = len(self.closures)
-        loop_pad = max(64, 64 * ((L + 63) // 64))
+        loop_pad = max(16, 16 * ((L + 15) // 16))
         loop_i = np.zeros(loop_pad, np.int32)
         loop_j = np.zeros(loop_pad, np.int32)
         loop_q = np.tile(np.asarray([1.0, 0, 0, 0], np.float32), (loop_pad, 1))
@@ -460,9 +584,13 @@ class LoopCloser:
             loop_q[e] = np.asarray(lc.T_ij.q)
             loop_t[e] = np.asarray(lc.T_ij.t)
             loop_valid[e] = True
+        # Padding slots alias node 0; mark them i=j=0 so window-local
+        # indices stay in range (they carry valid=False anyway).
+        loop_i[L:] = i0
+        loop_j[L:] = i0
         g = _build_graph(
             self.kf_q_odom, self.kf_t_odom, self.kf_q, self.kf_t,
-            jnp.asarray(n, jnp.int32),
+            jnp.asarray(i0, jnp.int32), jnp.asarray(wn, jnp.int32),
             jnp.asarray(loop_i), jnp.asarray(loop_j), jnp.asarray(loop_q),
             jnp.asarray(loop_t), jnp.asarray(loop_valid),
             n_pad=n_pad, n_succ=cfg.seq_edge_successors)
@@ -472,17 +600,24 @@ class LoopCloser:
         if self.pgo_device is not None:
             g = jax.device_put(g, self.pgo_device)
             fixed = jax.device_put(fixed, self.pgo_device)
-        g2, _ = pose_graph.optimize(g, fixed, iters=min(cfg.pgo_iters, 30))
+        if n_pad > self._BANDED_THRESHOLD:
+            g2, _ = pose_graph.optimize_banded(
+                g, fixed, band_edges=cfg.seq_edge_successors * n_pad,
+                iters=min(cfg.pgo_iters, 20))
+        else:
+            g2, _ = pose_graph.optimize(g, fixed, iters=min(cfg.pgo_iters, 30))
         g2_q, g2_t = g2.node_q, g2.node_t
         if self.pgo_device is not None:
             # Bring the solved poses back next to the pose table.
             g2_q = jax.device_put(g2_q, self.kf_q.sharding)
             g2_t = jax.device_put(g2_t, self.kf_t.sharding)
-        # Write corrected poses back into the pose table and refresh the
-        # drift transform (tf map→odom) in one program.
+        # Write corrected poses back into the pose table, re-base keyframes
+        # after the window, and refresh the drift transform (tf map→odom)
+        # in one program.
         (self.kf_q, self.kf_t, tmo_q, tmo_t) = _apply_pgo(
             self.kf_q, self.kf_t, self.kf_q_odom, self.kf_t_odom,
-            g2_q, g2_t, jnp.asarray(n, jnp.int32))
+            g2_q, g2_t, jnp.asarray(i0, jnp.int32), jnp.asarray(wn, jnp.int32),
+            jnp.asarray(n, jnp.int32))
         self.T_map_odom = SE3(tmo_q, tmo_t)
         if self.dump_dir is not None:
             self._dump_graph(f"{self.count:05d}_after")

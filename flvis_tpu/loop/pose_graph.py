@@ -144,3 +144,187 @@ def optimize(graph: PoseGraph, fixed_mask, iters: int = 20, cauchy_c: float = 1.
         0, iters, body, (Ti_all, jnp.asarray(lam0), total_cost(Ti_all))
     )
     return dataclasses.replace(graph, node_q=nodes.q, node_t=nodes.t), cost
+
+
+# ---------------------------------------------------------------------------
+# Scalable solver: block-tridiagonal (super-node) Cholesky + Woodbury.
+#
+# The dense path above allocates a (K, K, 6, 6) H — 604 MB at K=2048 — and
+# solves O((6K)³).  But the reference's PGO graph is nearly banded: the
+# sequential edges span ≤5 keyframes (vo_loopclosing.cpp:834-859) and only
+# the few loop-closure edges couple distant nodes.  Grouping `super` (=8)
+# consecutive poses into one 48-dof super-node makes the banded part exactly
+# BLOCK-TRIDIAGONAL (any edge with span ≤ super couples adjacent super-nodes
+# only), which a lax.scan Thomas elimination factors in O(K) with fixed
+# shapes — the TPU-idiomatic sequential-but-compiled pattern.  Loop edges
+# enter as a rank-6L Woodbury correction:
+#     H = B + U Uᵀ,   H⁻¹b = B⁻¹b − B⁻¹U (I + UᵀB⁻¹U)⁻¹ UᵀB⁻¹b
+# so one multi-RHS Thomas solve against [b, U] plus a small (6L, 6L) dense
+# solve replaces the dense factorization.  Memory is O(K·super·36 + K·6·6L).
+# ---------------------------------------------------------------------------
+
+_SUPER = 8  # poses per super-node; must be ≥ the max sequential-edge span
+
+
+def _thomas_solve(D, U, X):
+    """Solve the symmetric block-tridiagonal system  B · x = X  where
+    B[g,g] = D[g], B[g,g+1] = U[g], B[g+1,g] = U[g]ᵀ.
+
+    D: (G, S, S), U: (G, S, S) (row G-1 ignored), X: (G, S, N).
+    Returns (G, S, N).  Forward elimination and back-substitution are two
+    lax.scan passes; each step is one LU solve shared across all N RHS.
+    """
+    S = D.shape[1]
+
+    def fwd(carry, inp):
+        Dt_g, X_g = carry
+        D_next, U_g, X_next = inp
+        sol = jnp.linalg.solve(Dt_g, jnp.concatenate([U_g, X_g], axis=1))
+        C_g, Y_g = sol[:, :S], sol[:, S:]
+        Dt_next = D_next - U_g.T @ C_g
+        Xn = X_next - U_g.T @ Y_g
+        return (Dt_next, Xn), (C_g, Y_g)
+
+    (Dt_last, X_last), (C, Y) = jax.lax.scan(
+        fwd, (D[0], X[0]), (D[1:], U[:-1], X[1:]))
+    Y_last = jnp.linalg.solve(Dt_last, X_last)
+
+    def bwd(sol_next, inp):
+        C_g, Y_g = inp
+        sol_g = Y_g - C_g @ sol_next
+        return sol_g, sol_g
+
+    _, sols = jax.lax.scan(bwd, Y_last, (C, Y), reverse=True)
+    return jnp.concatenate([sols, Y_last[None]], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("band_edges", "iters"))
+def optimize_banded(graph: PoseGraph, fixed_mask, band_edges: int,
+                    iters: int = 20, cauchy_c: float = 1.0, lam0: float = 1e-4):
+    """LM on the pose graph with the block-tridiagonal + Woodbury solver.
+
+    Same semantics as `optimize`, scalable to thousands of nodes.  Edges
+    [0:band_edges] are "band" edges and must satisfy edge_i ≤ edge_j ≤
+    edge_i + _SUPER (the sequential 5-successor edges do); edges
+    [band_edges:] are loop edges, may connect any pair, and are handled by
+    the low-rank Woodbury correction (keep that bucket small — memory and
+    the dense correction solve scale with it).
+    Requires num_nodes % _SUPER == 0 (callers pad to power-of-2 buckets).
+    """
+    K = graph.num_nodes
+    s = _SUPER
+    assert K % s == 0, "pad node count to a multiple of _SUPER"
+    G, S = K // s, 6 * s
+    E = graph.edge_i.shape[0]
+    Eb = band_edges
+    Lp = E - Eb                   # loop-edge bucket (Woodbury columns)
+    Ti_all = SE3(graph.node_q, graph.node_t)
+    Tij = SE3(graph.edge_q, graph.edge_t)
+    hp = dict(precision="highest")
+    held = fixed_mask | ~graph.node_valid                       # (K,)
+
+    def total_cost(nodes: SE3):
+        Ti = se3m.index(nodes, graph.edge_i)
+        Tj = se3m.index(nodes, graph.edge_j)
+        z = jnp.zeros((E, 6), nodes.t.dtype)
+        r = jax.vmap(_edge_residual)(z, z, Ti, Tj, Tij)
+        r2 = jnp.sum(r * r, axis=-1)
+        rho = (cauchy_c ** 2) * jnp.log1p(r2 / cauchy_c ** 2)
+        return jnp.sum(jnp.where(graph.edge_valid, rho * graph.edge_weight, 0.0))
+
+    r6 = jnp.arange(6)
+    ei, ej = graph.edge_i, graph.edge_j
+    gi, oi = ei[:Eb] // s, (ei[:Eb] % s) * 6
+    gj, oj = ej[:Eb] // s, (ej[:Eb] % s) * 6
+    same_g = gi == gj
+
+    def lm_step(nodes: SE3, lam):
+        Ti = se3m.index(nodes, ei)
+        Tj = se3m.index(nodes, ej)
+        r, Ji, Jj = jax.vmap(_edge_res_jac)(Ti, Tj, Tij)        # (E,6),(E,6,6)
+        r2 = jnp.sum(r * r, axis=-1)
+        w = _cauchy_weight(r2, cauchy_c) * graph.edge_weight
+        w = jnp.where(graph.edge_valid, w, 0.0)                 # (E,)
+        JiW, JjW = Ji * w[:, None, None], Jj * w[:, None, None]
+
+        # Full gradient (all edges, incl. loop edges).
+        b = jnp.zeros((K, 6))
+        b = b.at[ei].add(-jnp.einsum("eki,ek->ei", JiW, r, **hp))
+        b = b.at[ej].add(-jnp.einsum("eki,ek->ei", JjW, r, **hp))
+
+        # --- banded part: scatter 6x6 blocks into block-tridiagonal (D, U).
+        Hii = jnp.einsum("eki,ekj->eij", JiW[:Eb], Ji[:Eb], **hp)
+        Hjj = jnp.einsum("eki,ekj->eij", JjW[:Eb], Jj[:Eb], **hp)
+        Hij = jnp.einsum("eki,ekj->eij", JiW[:Eb], Jj[:Eb], **hp)
+        D = jnp.zeros((G, S, S))
+        U = jnp.zeros((G, S, S))
+        rows_i = oi[:, None, None] + r6[None, :, None]
+        cols_i = oi[:, None, None] + r6[None, None, :]
+        rows_j = oj[:, None, None] + r6[None, :, None]
+        cols_j = oj[:, None, None] + r6[None, None, :]
+        gib = gi[:, None, None]
+        gjb = gj[:, None, None]
+        D = D.at[gib, rows_i, cols_i].add(Hii)
+        D = D.at[gjb, rows_j, cols_j].add(Hjj)
+        w_same = same_g.astype(Hij.dtype)[:, None, None]
+        D = D.at[gib, rows_i, cols_j].add(w_same * Hij)
+        D = D.at[gib, rows_j, cols_i].add(
+            w_same * jnp.swapaxes(Hij, -1, -2))
+        # Inter-super coupling (g_j == g_i + 1 for band edges crossing).
+        U = U.at[gib, rows_i, cols_j].add((1.0 - w_same) * Hij)
+
+        # --- loop part: U_w columns (rank 6 per loop edge, Woodbury).
+        sqw = jnp.sqrt(w[Eb:])                                  # (Lp,)
+        Ui_col = jnp.swapaxes(Ji[Eb:], -1, -2) * sqw[:, None, None]
+        Uj_col = jnp.swapaxes(Jj[Eb:], -1, -2) * sqw[:, None, None]
+        Uw = jnp.zeros((K, 6, Lp, 6))
+        eidx = jnp.arange(Lp)
+        Uw = Uw.at[ei[Eb:], :, eidx, :].add(Ui_col)
+        Uw = Uw.at[ej[Eb:], :, eidx, :].add(Uj_col)
+
+        # --- damping on the FULL H diagonal (band diag + loop diag).
+        d_band = jnp.diagonal(D, axis1=1, axis2=2).reshape(K, 6)
+        d_loop = jnp.sum(Uw * Uw, axis=(2, 3))
+        d_full = d_band + d_loop
+        damp = lam * jnp.maximum(d_full, 1e-6) + 1e-9
+        dd = (damp.reshape(G, s, 6).reshape(G, S))
+        D = D + jax.vmap(jnp.diag)(dd)
+
+        # --- gauge fixing: identity rows/cols for held nodes.
+        fix = jnp.repeat(held, 6).reshape(G, S)                 # (G, S)
+        keep = 1.0 - fix.astype(D.dtype)
+        D = D * keep[:, :, None] * keep[:, None, :]
+        D = D + jax.vmap(jnp.diag)(fix.astype(D.dtype))
+        U = U * keep[:, :, None]
+        U = U * jnp.concatenate([keep[1:], jnp.ones((1, S))])[:, None, :]
+        bv = b * (1.0 - held.astype(b.dtype))[:, None]          # (K, 6)
+        Uw = Uw * (1.0 - held.astype(Uw.dtype))[:, None, None, None]
+
+        # --- solve: one multi-RHS Thomas pass against [b, U_w], Woodbury.
+        N = 1 + Lp * 6
+        X = jnp.concatenate(
+            [bv.reshape(K, 6, 1), Uw.reshape(K, 6, Lp * 6)], axis=-1)
+        Z = _thomas_solve(D, U, X.reshape(G, S, N)).reshape(K * 6, N)
+        z_b, Z_u = Z[:, 0], Z[:, 1:]
+        Uf = Uw.reshape(K * 6, Lp * 6)
+        M = jnp.eye(Lp * 6) + Uf.T @ Z_u
+        y = jnp.linalg.solve(M, Uf.T @ z_b)
+        dx = (z_b - Z_u @ y).reshape(K, 6)
+        dx = jnp.where(held[:, None], 0.0, dx)
+        return se3m.compose(nodes, se3m.exp(dx))
+
+    def body(_, carry):
+        nodes, lam, cost = carry
+        new_nodes = lm_step(nodes, lam)
+        new_cost = total_cost(new_nodes)
+        better = new_cost < cost
+        nodes = jax.tree.map(
+            lambda a, b_: jnp.where(better, b_, a), nodes, new_nodes)
+        lam = jnp.where(better, jnp.maximum(lam * 0.3, 1e-8),
+                        jnp.minimum(lam * 6.0, 1e4))
+        cost = jnp.where(better, new_cost, cost)
+        return nodes, lam, cost
+
+    nodes, _, cost = jax.lax.fori_loop(
+        0, iters, body, (Ti_all, jnp.asarray(lam0), total_cost(Ti_all)))
+    return dataclasses.replace(graph, node_q=nodes.q, node_t=nodes.t), cost

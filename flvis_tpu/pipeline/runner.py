@@ -420,6 +420,7 @@ class SlamSystem:
         outs_np = _unpack_outputs(packed)
         first_fid = self._frames_processed
         self._frames_processed += T
+        new_ks = []
         for i in range(T):
             if bool(outs_np.is_keyframe[i]):
                 pkt = _slice_tree(pkts, jnp.asarray(i, jnp.int32))
@@ -432,13 +433,19 @@ class SlamSystem:
                 if self.loop_closer is not None:
                     T_c_w = SE3(jnp.asarray(outs_np.T_c_w.q[i]),
                                 jnp.asarray(outs_np.T_c_w.t[i]))
-                    k = self.loop_closer.add_keyframe(
-                        imgs0[i], imgs1[i], T_c_w, first_fid + i)
-                    if self.loop_closer.detect_loop(k) is not None:
-                        self.loop_closer.optimize_graph()
+                    new_ks.append(self.loop_closer.add_keyframe(
+                        imgs0[i], imgs1[i], T_c_w, first_fid + i))
             self.trajectory.append(
                 (first_fid + i, float(ts[i]) if ts is not None else 0.0,
                  outs_np.T_c_w.q[i], outs_np.T_c_w.t[i]))
+        if self.loop_closer is not None and new_ks:
+            # One batched candidate-gate program + ONE small fetch for the
+            # whole chunk's keyframes (vs one fetch per keyframe) — the
+            # loop search runs at chunk cadence, like the reference's
+            # free-running pgoProcess thread that lags ingest
+            # (vo_loopclosing.cpp:393-518).
+            if self.loop_closer.detect_loops_batch(new_ks):
+                self.loop_closer.optimize_graph()
         return outs_np
 
     # ------------------------------------------------------------- exports

@@ -26,3 +26,16 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Release compiled-program memory between test modules.
+
+    The suite compiles ~160 distinct jit signatures; on the 2-CPU box the
+    accumulated compile-cache memory segfaulted XLA at ~95% of a single-
+    process run (round-1 verdict).  Dropping caches per module bounds the
+    growth; tests/run_all.py remains as the per-file-subprocess fallback.
+    """
+    yield
+    jax.clear_caches()

@@ -85,6 +85,104 @@ class TestLoopClosing:
         )
 
 
+def _inject_run(n, loops, drift_step=0.01, cfg=None):
+    """LoopCloser with pose tables injected directly (no image ingest):
+    straight-line ground truth along +x, odometry drifting along +y, plus
+    accepted closures carrying the TRUE relative poses."""
+    from flvis_tpu.loop.loop_closing import LoopClosure
+
+    cam = camera.make(200.0, 200.0, 128.0, 96.0, 0.12, width=256, height=192)
+    cfg = cfg or LoopConfig(max_keyframes=max(64, n), num_orb_features=32,
+                            vocab_words=16)
+    lc = LoopCloser(cfg, cam)
+    gt_T, odo_T = [], []
+    for k in range(n):
+        t_gt = jnp.asarray([-0.1 * k, 0.0, 0.0], jnp.float32)  # T_c_w t
+        T_gt = se3.SE3(so3.identity(), t_gt)
+        T_odo = se3.SE3(T_gt.q, T_gt.t + jnp.asarray([0.0, drift_step * k, 0.0]))
+        gt_T.append(T_gt)
+        odo_T.append(T_odo)
+        T_wc = se3.inverse(T_odo)
+        lc.kf_q_odom = lc.kf_q_odom.at[k].set(T_wc.q)
+        lc.kf_t_odom = lc.kf_t_odom.at[k].set(T_wc.t)
+        lc.kf_q = lc.kf_q.at[k].set(T_wc.q)
+        lc.kf_t = lc.kf_t.at[k].set(T_wc.t)
+    lc.count = n
+    for (i, j) in loops:
+        T_ij = se3.compose(gt_T[i], se3.inverse(gt_T[j]))  # T_wc_i⁻¹ T_wc_j
+        lc.closures.append(LoopClosure(i, j, 50, T_ij))
+    return lc, gt_T, odo_T
+
+
+class TestWindowedPGO:
+    """The reference optimizes only [first loop id, last loop id]
+    (vo_loopclosing.cpp:745-780): nodes before the window must not move;
+    nodes after it are re-based onto the updated drift."""
+
+    def test_prewindow_untouched_postwindow_rebased(self):
+        n, i0, j1 = 40, 10, 30
+        lc, gt_T, odo_T = _inject_run(n, [(i0, j1)])
+        pre_q = np.asarray(lc.kf_q[:i0]).copy()
+        pre_t = np.asarray(lc.kf_t[:i0]).copy()
+        lc.optimize_graph()
+        # Before the window: bitwise untouched.
+        np.testing.assert_array_equal(np.asarray(lc.kf_q[:i0]), pre_q)
+        np.testing.assert_array_equal(np.asarray(lc.kf_t[:i0]), pre_t)
+        # Loop endpoint: drift largely absorbed.
+        C_gt = np.asarray(se3.inverse(gt_T[j1]).t)
+        C_odo = np.asarray(se3.inverse(odo_T[j1]).t)
+        C_corr = np.asarray(lc.kf_T_wc[j1].t)
+        assert np.linalg.norm(C_corr - C_gt) < 0.5 * np.linalg.norm(C_odo - C_gt)
+        # After the window: exactly drift ∘ odometry (rigid re-base).
+        for k in range(j1 + 1, n):
+            expect = se3.compose(lc.T_map_odom, se3.inverse(odo_T[k]))
+            np.testing.assert_allclose(np.asarray(lc.kf_T_wc[k].t),
+                                       np.asarray(expect.t), atol=1e-5)
+
+    def test_large_window_uses_banded_solver(self):
+        """A >256-node loop window routes through optimize_banded and still
+        closes the loop (the dense path would allocate a (1024,1024,6,6) H)."""
+        n = 600
+        lc, gt_T, odo_T = _inject_run(
+            n, [(5, 590)], drift_step=0.002,
+            cfg=LoopConfig(max_keyframes=1024, num_orb_features=32,
+                           vocab_words=16, pgo_iters=12))
+        lc.optimize_graph()
+        C_gt = np.asarray(se3.inverse(gt_T[590]).t)
+        C_odo = np.asarray(se3.inverse(odo_T[590]).t)
+        C_corr = np.asarray(lc.kf_T_wc[590].t)
+        err_odo = np.linalg.norm(C_odo - C_gt)
+        err_corr = np.linalg.norm(C_corr - C_gt)
+        assert err_corr < 0.3 * err_odo, (err_corr, err_odo)
+
+
+class TestCapacityGrowth:
+    def test_database_grows_past_max_keyframes(self):
+        """KITTI-length runs exceed any fixed keyframe budget: the store
+        must grow (round 1 raised RuntimeError at capacity)."""
+        scfg = SceneConfig(width=256, height=192, fx=200.0, fy=200.0,
+                           cx=128.0, cy=96.0, baseline=0.12)
+        scene = PlanarScene(scfg, plane_depth=8.0, seed=7)
+        cam = camera.make(scfg.fx, scfg.fy, scfg.cx, scfg.cy, scfg.baseline,
+                          width=scfg.width, height=scfg.height)
+        cfg = LoopConfig(max_keyframes=8, num_orb_features=128, vocab_words=64,
+                         kf_start=4, kf_dist=2, kf_max_dist=32, nkf_closest=1,
+                         min_score=0.0)
+        lc = LoopCloser(cfg, cam)
+        for k in range(12):
+            R = np.eye(3)
+            t = np.asarray([0.05 * k, 0.0, 0.0], np.float32)
+            img_l, img_r, _ = scene.render(R, t)
+            lc.add_keyframe(img_l, img_r, se3.SE3(so3.identity(),
+                                                  jnp.asarray(t)), frame_id=k)
+        assert lc.count == 12
+        assert lc.bow_db.shape[0] == 16
+        assert lc.kf_desc.shape[0] == 16
+        assert list(lc.kf_frame_id[:12]) == list(range(12))
+        # Search still works over the grown store.
+        lc.detect_loop(11)
+
+
 class TestLoopCloserSharded:
     def test_mesh_db_matches_dense_scores(self):
         """LoopCloser with a kf-sharded BoW database produces the same

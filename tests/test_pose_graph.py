@@ -105,3 +105,87 @@ class TestPoseGraph:
         for i in range(12):
             np.testing.assert_allclose(g2.node_t[i], gt[i].t, atol=1e-4)
         assert float(cost) < 1e-6
+
+
+def _reference_style_graph(K, n, n_succ=5, loop_pad=16, loops=((0, 45), (3, 47)),
+                           noise=0.05, seed=0):
+    """Graph shaped like loop_closing._build_graph's output: n_succ·K
+    sequential edges FIRST (band), then a padded loop-edge bucket."""
+    rng = np.random.default_rng(seed)
+    th = np.linspace(0, 2 * np.pi, n)
+    pos = (np.stack([np.cos(th), np.sin(th), 0 * th], -1) * 5).astype(np.float32)
+    qs = np.tile(np.asarray([1.0, 0, 0, 0], np.float32), (K, 1))
+    ts = np.zeros((K, 3), np.float32)
+    ts[:n] = pos
+    gt = se3.SE3(jnp.asarray(qs), jnp.asarray(ts))
+    ts_noisy = ts + rng.normal(0, noise, ts.shape).astype(np.float32) * \
+        (np.arange(K) < n)[:, None]
+
+    a = np.arange(K)
+    ei, ej, eq, et, ev, ew = [], [], [], [], [], []
+    for s in range(1, n_succ + 1):
+        b = np.minimum(a + s, K - 1)
+        rel = se3.compose(se3.inverse(se3.index(gt, jnp.asarray(a))),
+                          se3.index(gt, jnp.asarray(b)))
+        ei.append(a); ej.append(b)
+        eq.append(np.asarray(rel.q)); et.append(np.asarray(rel.t))
+        ev.append(a + s < n); ew.append(np.full(K, 1.0 / s, np.float32))
+    li = np.zeros(loop_pad, np.int32); lj = np.zeros(loop_pad, np.int32)
+    lq = np.tile(np.asarray([1.0, 0, 0, 0], np.float32), (loop_pad, 1))
+    lt = np.zeros((loop_pad, 3), np.float32)
+    lv = np.zeros(loop_pad, bool)
+    for e, (i, j) in enumerate(loops):
+        rel = se3.compose(se3.inverse(se3.index(gt, jnp.asarray(i))),
+                          se3.index(gt, jnp.asarray(j)))
+        li[e], lj[e] = i, j
+        lq[e] = np.asarray(rel.q); lt[e] = np.asarray(rel.t); lv[e] = True
+    ei.append(li); ej.append(lj); eq.append(lq); et.append(lt); ev.append(lv)
+    ew.append(np.full(loop_pad, 5.0, np.float32))
+
+    g = pose_graph.PoseGraph(
+        node_q=jnp.asarray(qs), node_t=jnp.asarray(ts_noisy),
+        node_valid=jnp.asarray(np.arange(K) < n),
+        edge_i=jnp.asarray(np.concatenate(ei), jnp.int32),
+        edge_j=jnp.asarray(np.concatenate(ej), jnp.int32),
+        edge_q=jnp.asarray(np.concatenate(eq)),
+        edge_t=jnp.asarray(np.concatenate(et)),
+        edge_valid=jnp.asarray(np.concatenate(ev)),
+        edge_weight=jnp.asarray(np.concatenate(ew)))
+    return g, ts, ts_noisy, n_succ * K
+
+
+class TestBandedSolver:
+    """optimize_banded: the O(K) block-tridiagonal + Woodbury path."""
+
+    def test_matches_dense(self):
+        g, ts, _, band_edges = _reference_style_graph(K=64, n=50)
+        fixed = jnp.zeros(64, bool).at[0].set(True)
+        gd, cd = pose_graph.optimize(g, fixed, iters=25)
+        gb, cb = pose_graph.optimize_banded(g, fixed, band_edges=band_edges,
+                                            iters=25)
+        np.testing.assert_allclose(np.asarray(gb.node_t[:50]),
+                                   np.asarray(gd.node_t[:50]), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(gb.node_q[:50]),
+                                   np.asarray(gd.node_q[:50]), atol=2e-5)
+
+    def test_reduces_error_large_graph(self):
+        # A graph size the dense path cannot reasonably handle; loops pin
+        # widely separated nodes.
+        K, n = 512, 500
+        g, ts, ts_noisy, band_edges = _reference_style_graph(
+            K=K, n=n, loops=((0, 450), (10, 480), (200, 490)), noise=0.08)
+        fixed = jnp.zeros(K, bool).at[0].set(True)
+        gb, cost = pose_graph.optimize_banded(g, fixed, band_edges=band_edges,
+                                              iters=15)
+        err_before = np.linalg.norm(ts_noisy[:n] - ts[:n], axis=-1).max()
+        err_after = np.linalg.norm(
+            np.asarray(gb.node_t[:n]) - ts[:n], axis=-1).max()
+        assert err_after < 0.4 * err_before, (err_after, err_before)
+
+    def test_fixed_node_unmoved(self):
+        g, _, ts_noisy, band_edges = _reference_style_graph(K=64, n=50)
+        fixed = jnp.zeros(64, bool).at[0].set(True)
+        gb, _ = pose_graph.optimize_banded(g, fixed, band_edges=band_edges,
+                                           iters=10)
+        np.testing.assert_allclose(np.asarray(gb.node_t[0]), ts_noisy[0],
+                                   atol=1e-6)
