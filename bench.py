@@ -234,6 +234,109 @@ def main():
     sync(slam_v.fe_state)
     system_vio_fps = n_sv * CH / (time.perf_counter() - t0)
 
+    # --- full system WITH loop closing in the steady path --------------------
+    # Same chunked replay with the loop node ingesting every keyframe (ORB +
+    # BoW + keypoint depth, device-resident store) and the batched candidate
+    # gate fetching ONE (M,4) row per chunk.  No loop events fire on the
+    # orbit scene (kf_dist gate), so this measures the steady-state overhead
+    # the reference pays on its free-running pgoProcess thread — target
+    # within ~10% of system_frames_per_s.
+    slam_l = SlamSystem(scfg_sys, cam, use_loop=True)
+    for _ in range(2):
+        slam_l.process_frames(si0, si1)
+    sync(slam_l.fe_state)
+    n_l = 3
+    t0 = time.perf_counter()
+    for _ in range(n_l):
+        slam_l.process_frames(si0, si1)
+    sync(slam_l.fe_state)
+    system_loop_fps = n_l * CH / (time.perf_counter() - t0)
+
+    # --- full-SYSTEM multi-sequence DP (8 sequences, one chip) ---------------
+    # The complete pipeline (tracking + window BA + feedback) batched over a
+    # leading seq axis — the per-chip building block of the "all EuRoC runs
+    # sharded over hosts" configuration (multi-chip sharding validated by
+    # __graft_entry__.dryrun_multichip; here the batch shares one chip).
+    S_sys, T_sys = 8, 8
+    cams_s = jax.tree.map(
+        lambda a: jnp.broadcast_to(jnp.asarray(a),
+                                   (S_sys,) + jnp.shape(jnp.asarray(a))), cam)
+    ms_i0 = jnp.stack([jnp.stack([jnp.roll(jnp.asarray(sys_frames[t % 8][0]),
+                                           7 * s, axis=1)
+                                  for t in range(T_sys)])
+                       for s in range(S_sys)])
+    ms_i1 = jnp.stack([jnp.stack([jnp.roll(jnp.asarray(sys_frames[t % 8][1]),
+                                           7 * s, axis=1)
+                                  for t in range(T_sys)])
+                       for s in range(S_sys)])
+    fe_b, ba_b, corr_b = multiseq.init_system_states(cfg, bcfg, S_sys)
+    for _ in range(2):
+        fe_b, ba_b, corr_b, _, _ = multiseq.system_chunk_batch(
+            cfg, bcfg, cams_s, fe_b, ba_b, corr_b, ms_i0, ms_i1)
+    sync(fe_b)
+    n_ms = 3
+    t0 = time.perf_counter()
+    for _ in range(n_ms):
+        fe_b, ba_b, corr_b, _, _ = multiseq.system_chunk_batch(
+            cfg, bcfg, cams_s, fe_b, ba_b, corr_b, ms_i0, ms_i1)
+    sync(fe_b)
+    multiseq_system_fps = n_ms * S_sys * T_sys / (time.perf_counter() - t0)
+
+    # --- PGO at KITTI scale: banded solver, 2048-node window ----------------
+    # The O(K) block-tridiagonal + Woodbury solver on a 2048-keyframe loop
+    # window (the dense path would allocate a 604 MB H).  Target < 100 ms.
+    from flvis_tpu.loop import pose_graph
+
+    Kp, n_nodes, succ = 2048, 2000, 5
+    th = np.linspace(0, 2 * np.pi, n_nodes)
+    pos = (np.stack([np.cos(th), np.sin(th), 0 * th], -1) * 20).astype(np.float32)
+    tsn = np.zeros((Kp, 3), np.float32)
+    tsn[:n_nodes] = pos
+    qsn = np.tile(np.asarray([1.0, 0, 0, 0], np.float32), (Kp, 1))
+    gt_nodes = se3.SE3(jnp.asarray(qsn), jnp.asarray(tsn))
+    noisy = tsn + rng_np.normal(0, 0.1, tsn.shape).astype(np.float32)
+    a_idx = np.arange(Kp)
+    pei, pej, peq, pet, pev, pew = [], [], [], [], [], []
+    for s_ in range(1, succ + 1):
+        b_idx = np.minimum(a_idx + s_, Kp - 1)
+        rel = se3.compose(se3.inverse(se3.index(gt_nodes, jnp.asarray(a_idx))),
+                          se3.index(gt_nodes, jnp.asarray(b_idx)))
+        pei.append(a_idx); pej.append(b_idx)
+        peq.append(np.asarray(rel.q)); pet.append(np.asarray(rel.t))
+        pev.append(a_idx + s_ < n_nodes)
+        pew.append(np.full(Kp, 1.0 / s_, np.float32))
+    Lpad = 16
+    li = np.zeros(Lpad, np.int32); lj = np.zeros(Lpad, np.int32)
+    lq = np.tile(np.asarray([1.0, 0, 0, 0], np.float32), (Lpad, 1))
+    lt = np.zeros((Lpad, 3), np.float32); lv = np.zeros(Lpad, bool)
+    for e, (i, j) in enumerate([(0, 1990), (500, 1800)]):
+        rel = se3.compose(se3.inverse(se3.index(gt_nodes, jnp.asarray(i))),
+                          se3.index(gt_nodes, jnp.asarray(j)))
+        li[e], lj[e] = i, j
+        lq[e] = np.asarray(rel.q); lt[e] = np.asarray(rel.t); lv[e] = True
+    pei.append(li); pej.append(lj); peq.append(lq); pet.append(lt)
+    pev.append(lv); pew.append(np.full(Lpad, 5.0, np.float32))
+    gped = pose_graph.PoseGraph(
+        node_q=jnp.asarray(qsn), node_t=jnp.asarray(noisy),
+        node_valid=jnp.asarray(a_idx < n_nodes),
+        edge_i=jnp.asarray(np.concatenate(pei), jnp.int32),
+        edge_j=jnp.asarray(np.concatenate(pej), jnp.int32),
+        edge_q=jnp.asarray(np.concatenate(peq)),
+        edge_t=jnp.asarray(np.concatenate(pet)),
+        edge_valid=jnp.asarray(np.concatenate(pev)),
+        edge_weight=jnp.asarray(np.concatenate(pew)))
+    fixed_p = jnp.zeros(Kp, bool).at[0].set(True)
+    gsol, _ = pose_graph.optimize_banded(gped, fixed_p,
+                                         band_edges=succ * Kp, iters=15)
+    sync(gsol.node_t)
+    n_p = 5
+    t0 = time.perf_counter()
+    for _ in range(n_p):
+        gsol, _ = pose_graph.optimize_banded(gped, fixed_p,
+                                             band_edges=succ * Kp, iters=15)
+    sync(gsol.node_t)
+    pgo2048_ms = 1000.0 * (time.perf_counter() - t0) / n_p
+
     baseline = 30.0
     # Headline = the chunked (lax.scan) dataset-replay mode, the apples-to-
     # apples counterpart of the reference's 30 Hz KITTI replay envelope.
@@ -254,6 +357,9 @@ def main():
         "multiseq16_scan8_frames_per_s": round(vmap_scan_fps, 1),
         "system_frames_per_s": round(system_fps, 2),
         "system_vio_frames_per_s": round(system_vio_fps, 2),
+        "system_loop_frames_per_s": round(system_loop_fps, 2),
+        "multiseq_system8_frames_per_s": round(multiseq_system_fps, 1),
+        "pgo2048_banded_ms": round(pgo2048_ms, 2),
         "system_chunk": CH,
         "system_keyframe_fraction": round(n_kf / (5.0 * CH), 3),
     }

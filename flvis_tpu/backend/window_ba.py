@@ -329,7 +329,7 @@ def _schur_kernel_enabled() -> bool:
 
 
 def _schur_step(cam, poses: SE3, lm_pw, obs, w_mask, fixed_pose, lam, delta,
-                axis_name=None):
+                axis_name=None, use_kernel: bool = True):
     """One damped Schur-complement LM step.  Returns (new_poses, new_lm_pw).
 
     On a single TPU device the whole step runs as ONE fused Pallas kernel
@@ -342,7 +342,7 @@ def _schur_step(cam, poses: SE3, lm_pw, obs, w_mask, fixed_pose, lam, delta,
     so the sharded path keeps the XLA implementation.  This distributed
     bundle adjustment is something the reference cannot do (g2o is single
     threaded per window)."""
-    if (axis_name is None and poses.q.shape[0] <= 16
+    if (axis_name is None and use_kernel and poses.q.shape[0] <= 16
             and _schur_kernel_enabled()):
         from ..ops.pallas.schur import schur_step_kernel
 
@@ -421,13 +421,13 @@ def _schur_step(cam, poses: SE3, lm_pw, obs, w_mask, fixed_pose, lam, delta,
 
 
 def _lm_loop(cam, poses, lm_pw, obs, w_mask, fixed_pose, iters: int, delta,
-             axis_name=None):
+             axis_name=None, use_kernel: bool = True):
     obs_uv, obs_ur, ur_valid = obs
 
     def body(carry):
         it, poses, lm_pw, lam, cost, _ = carry
         new_poses, new_lm = _schur_step(cam, poses, lm_pw, obs, w_mask, fixed_pose,
-                                        lam, delta, axis_name)
+                                        lam, delta, axis_name, use_kernel)
         r, _ = _residuals(cam, new_poses, new_lm, obs_uv, obs_ur, ur_valid)
         new_cost = _total_cost(r, w_mask, delta)
         if axis_name:
@@ -476,6 +476,17 @@ def optimize(cfg: BackendConfig, cam: StereoCamera, state: WindowState) -> BARes
     poses = state.poses()
     w_mask = state.obs_valid & state.kf_valid[:, None] & state.lm_valid[None, :]
 
+    use_kernel = cfg.pallas_schur
+    if use_kernel and cfg.window_size > 16 and _schur_kernel_enabled():
+        import warnings
+
+        warnings.warn(
+            f"window_size={cfg.window_size} > 16: the fused Pallas Schur "
+            "kernel only supports windows of <= 16 poses; falling back to "
+            "the ~4x slower XLA step (set BackendConfig.pallas_schur=False "
+            "to silence)", RuntimeWarning, stacklevel=2)
+        use_kernel = False
+
     # Oldest valid KF is the gauge anchor (vo_localmap.cpp:159-162).
     fid = jnp.where(state.kf_valid, state.kf_frame_id, jnp.iinfo(jnp.int32).max)
     fixed_pose = jnp.arange(state.window) == jnp.argmin(fid)
@@ -483,7 +494,8 @@ def optimize(cfg: BackendConfig, cam: StereoCamera, state: WindowState) -> BARes
     obs = (state.obs_uv, state.obs_ur, state.obs_ur_valid & w_mask)
     # Phase 1.
     poses1, lm1, _ = _lm_loop(cam, poses, state.lm_pw, obs, w_mask,
-                              fixed_pose, cfg.iters1, cfg.huber_delta)
+                              fixed_pose, cfg.iters1, cfg.huber_delta,
+                              use_kernel=use_kernel)
     # Edge cull: chi² > thr (vo_localmap.cpp:292-319).
     r1, _ = _residuals(cam, poses1, lm1, *obs)
     chi2 = jnp.sum(r1 * r1, axis=1)                       # (W, L)
@@ -491,7 +503,8 @@ def optimize(cfg: BackendConfig, cam: StereoCamera, state: WindowState) -> BARes
     # Phase 2.
     obs2 = (state.obs_uv, state.obs_ur, state.obs_ur_valid & w_mask2)
     poses2, lm2, cost = _lm_loop(cam, poses1, lm1, obs2, w_mask2,
-                                 fixed_pose, cfg.iters2, cfg.huber_delta)
+                                 fixed_pose, cfg.iters2, cfg.huber_delta,
+                                 use_kernel=use_kernel)
 
     ready = state.count >= 3
     poses_out = jax.tree.map(lambda a, b: jnp.where(ready, b, a), poses, poses2)

@@ -118,6 +118,11 @@ class BackendConfig:
     iters2: int = 8                     # → cull chi²>3 → optimize(8)
     chi2_cull: float = 9.0
     huber_delta: float = 2.0
+    # Fused Pallas Schur-step kernel (ops/pallas/schur.py): used on real TPUs
+    # for window_size ≤ 16 (larger windows fall back to the XLA path with a
+    # loud warning — see window_ba.optimize).  Disable for vmapped/batched
+    # windows (multi-sequence DP), where the kernel's batching is unproven.
+    pallas_schur: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -101,6 +101,20 @@ def _ba_tail(fcfg, bcfg, cam, null, fe, ba, out):
     return ba, pkt, corr_new, cost
 
 
+def _fused_frame_step(fcfg, bcfg, cam, null, carry, xs):
+    """One frame of the fused frontend+backend pipeline: apply pending
+    Correction, track, and run the keyframe BA tail.  Shared by the
+    single-sequence chunk scan (_chunk_fused) and the (S,)-batched
+    multi-sequence DP variant (parallel.multiseq.system_chunk_batch)."""
+    fe, ba, corr = carry
+    i0, i1 = xs
+    fe = tracker.apply_correction(fe, corr)              # no-op when !valid
+    fe, out = tracker.track_frame(fcfg, cam, fe, i0, i1)
+    # KFMSG_CMD_RESET_LM reset + keyframe BA (vo_localmap.cpp:89-98).
+    ba, pkt, corr_new, cost = _ba_tail(fcfg, bcfg, cam, null, fe, ba, out)
+    return (fe, ba, corr_new), (out, pkt, corr_new, cost)
+
+
 @functools.partial(jax.jit, static_argnames=("fcfg", "bcfg"))
 def _chunk_fused(fcfg, bcfg, cam, fe_state, ba_state, corr, imgs0, imgs1):
     """Frontend tracking AND per-keyframe window BA for a whole chunk as ONE
@@ -121,13 +135,7 @@ def _chunk_fused(fcfg, bcfg, cam, fe_state, ba_state, corr, imgs0, imgs1):
     null = window_ba.null_correction(bcfg)
 
     def step(carry, xs):
-        fe, ba, corr = carry
-        i0, i1 = xs
-        fe = tracker.apply_correction(fe, corr)          # no-op when !valid
-        fe, out = tracker.track_frame(fcfg, cam, fe, i0, i1)
-        # KFMSG_CMD_RESET_LM reset + keyframe BA (vo_localmap.cpp:89-98).
-        ba, pkt, corr_new, cost = _ba_tail(fcfg, bcfg, cam, null, fe, ba, out)
-        return (fe, ba, corr_new), (out, pkt, corr_new, cost)
+        return _fused_frame_step(fcfg, bcfg, cam, null, carry, xs)
 
     (fe_state, ba_state, corr), ys = jax.lax.scan(
         step, (fe_state, ba_state, corr), (imgs0, imgs1))
@@ -152,39 +160,47 @@ def _chunk_fused_vio(fcfg, bcfg, vcfg, cam, T_i_c, fe_state, ba_state,
     null = window_ba.null_correction(bcfg)
 
     def step(carry, xs):
-        fe, ba, vio, corr = carry
-        i0, i1, t_img, a, g, it, iv = xs
-        vio = vimotion.imu_feed_batch(vcfg, vio, a, g, it, iv)
-        ff = vimotion.get_frame_state(vio, t_img, T_i_c)
-        fe = tracker.apply_correction(fe, corr)          # backend feedback
-        cv = se3m.compose(se3m.exp(fe.velocity), fe.T_prev)
-        prior = jax.tree.map(lambda x, y: jnp.where(ff.ok, x, y),
-                             ff.T_c_w, cv)
-        fe, out = tracker.track_frame(fcfg, cam, fe, i0, i1,
-                                      prior_T=prior, use_prior=True)
-        # Roll/pitch feedforward blend (weight cfg.vio.rp_blend) applied to
-        # the vision pose, rebasing the tracker's pose chain onto it.
-        T_blend = vimotion.rp_compensate_pose(vcfg, out.T_c_w, ff.q_w_i, T_i_c)
-        do_blend = ff.ok & (out.status == tracker.STATUS_TRACKING)
-        T_out = jax.tree.map(lambda x, y: jnp.where(do_blend, x, y),
-                             T_blend, out.T_c_w)
-        pose_corr = null._replace(frame_id=fe.frame_id - 1,
-                                  q=T_out.q, t=T_out.t, valid=do_blend)
-        fe = tracker.apply_correction(fe, pose_corr)
-        out = out._replace(T_c_w=T_out)
-
-        ba, pkt, corr_new, cost = _ba_tail(fcfg, bcfg, cam, null, fe, ba, out)
-        vio = jax.lax.cond(
-            out.status == tracker.STATUS_TRACKING,
-            lambda v: vimotion.correction_from_vision(vcfg, v, t_img, T_out,
-                                                      T_i_c),
-            lambda v: v, vio)
-        return (fe, ba, vio, corr_new), (out, pkt, corr_new, cost)
+        return _fused_vio_frame_step(fcfg, bcfg, vcfg, cam, T_i_c, null,
+                                     carry, xs)
 
     (fe_state, ba_state, vio_state, corr), ys = jax.lax.scan(
         step, (fe_state, ba_state, vio_state, corr),
         (imgs0, imgs1, ts, acc, gyro, imu_t, imu_valid))
     return fe_state, ba_state, vio_state, corr, ys
+
+
+def _fused_vio_frame_step(fcfg, bcfg, vcfg, cam, T_i_c, null, carry, xs):
+    """One frame of the fused VIO pipeline (IMU propagation → feedforward
+    prior → track → RP blend → keyframe BA → bias feedback).  Shared by
+    _chunk_fused_vio and the (S,)-batched multi-sequence DP variant."""
+    fe, ba, vio, corr = carry
+    i0, i1, t_img, a, g, it, iv = xs
+    vio = vimotion.imu_feed_batch(vcfg, vio, a, g, it, iv)
+    ff = vimotion.get_frame_state(vio, t_img, T_i_c)
+    fe = tracker.apply_correction(fe, corr)              # backend feedback
+    cv = se3m.compose(se3m.exp(fe.velocity), fe.T_prev)
+    prior = jax.tree.map(lambda x, y: jnp.where(ff.ok, x, y),
+                         ff.T_c_w, cv)
+    fe, out = tracker.track_frame(fcfg, cam, fe, i0, i1,
+                                  prior_T=prior, use_prior=True)
+    # Roll/pitch feedforward blend (weight cfg.vio.rp_blend) applied to
+    # the vision pose, rebasing the tracker's pose chain onto it.
+    T_blend = vimotion.rp_compensate_pose(vcfg, out.T_c_w, ff.q_w_i, T_i_c)
+    do_blend = ff.ok & (out.status == tracker.STATUS_TRACKING)
+    T_out = jax.tree.map(lambda x, y: jnp.where(do_blend, x, y),
+                         T_blend, out.T_c_w)
+    pose_corr = null._replace(frame_id=fe.frame_id - 1,
+                              q=T_out.q, t=T_out.t, valid=do_blend)
+    fe = tracker.apply_correction(fe, pose_corr)
+    out = out._replace(T_c_w=T_out)
+
+    ba, pkt, corr_new, cost = _ba_tail(fcfg, bcfg, cam, null, fe, ba, out)
+    vio = jax.lax.cond(
+        out.status == tracker.STATUS_TRACKING,
+        lambda v: vimotion.correction_from_vision(vcfg, v, t_img, T_out,
+                                                  T_i_c),
+        lambda v: v, vio)
+    return (fe, ba, vio, corr_new), (out, pkt, corr_new, cost)
 
 
 def pack_imu_frames(imu_accs, imu_gyros, imu_ts, pad: int = 16):

@@ -55,6 +55,67 @@ class TestMultiSeq:
 
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs multi-device mesh")
+class TestSystemDP:
+    def test_system_chunk_matches_single_sequence(self):
+        """FULL-system multi-sequence DP (frontend + window BA + feedback,
+        seq-sharded) reproduces the single-sequence fused chunk per
+        sequence."""
+        from flvis_tpu.io.synthetic import PlanarScene, SceneConfig, orbit_trajectory
+        from flvis_tpu.frontend import tracker
+        from flvis_tpu.pipeline import runner as runner_m
+
+        S, T = 4, 4
+        fcfg = FrontendConfig(width=256, height=192, num_slots=64,
+                              pyramid_levels=3, per_cell=4, min_distance=10.0,
+                              margin=12, lk_radius=7, ransac_hypotheses=32,
+                              kf_bootstrap_every=2)
+        bcfg = BackendConfig(window_size=4, max_landmarks=128, min_views=2,
+                             iters1=4, iters2=3, pallas_schur=False)
+        mesh = multiseq.make_mesh(S)
+        cam1 = camera.make(200.0, 200.0, 128.0, 96.0, 0.12,
+                           width=256, height=192)
+        cams = jax.tree.map(
+            lambda a: jnp.broadcast_to(jnp.asarray(a),
+                                       (S,) + jnp.shape(jnp.asarray(a))), cam1)
+        scfg = SceneConfig(width=256, height=192, fx=200.0, fy=200.0,
+                           cx=128.0, cy=96.0, baseline=0.12)
+        seq_imgs = []
+        for s in range(S):
+            scene = PlanarScene(scfg, plane_depth=8.0, seed=s)
+            frames = [scene.render(R, t)
+                      for (R, t) in orbit_trajectory(T, step=0.04)]
+            seq_imgs.append((np.stack([f[0] for f in frames]),
+                             np.stack([f[1] for f in frames])))
+        imgs0 = jnp.asarray(np.stack([si[0] for si in seq_imgs]))
+        imgs1 = jnp.asarray(np.stack([si[1] for si in seq_imgs]))
+
+        fe_b, ba_b, corr_b = multiseq.init_system_states(fcfg, bcfg, S, mesh)
+        _, _, _, outs, costs = multiseq.system_chunk_batch(
+            fcfg, bcfg, multiseq.shard_batch(mesh, cams), fe_b, ba_b, corr_b,
+            multiseq.shard_batch(mesh, imgs0),
+            multiseq.shard_batch(mesh, imgs1))
+        assert np.asarray(outs.status).shape == (S, T)
+        assert costs.shape == (S, T)
+        for s in range(S):
+            fe0 = tracker.init_state(fcfg)
+            ba0 = window_ba.empty(bcfg)
+            corr0 = window_ba.null_correction(bcfg)
+            _, _, _, ys = runner_m._chunk_fused(
+                fcfg, bcfg, cam1, fe0, ba0, corr0, imgs0[s], imgs1[s])
+            out_ref = ys[0]
+            np.testing.assert_array_equal(np.asarray(outs.status)[s],
+                                          np.asarray(out_ref.status))
+            np.testing.assert_array_equal(np.asarray(outs.is_keyframe)[s],
+                                          np.asarray(out_ref.is_keyframe))
+            # Same rounding-order caveat as TestMultiSeqScan (vmap batches
+            # the reductions differently): sub-mm agreement expected.
+            np.testing.assert_allclose(np.asarray(outs.T_c_w.t)[s],
+                                       np.asarray(out_ref.T_c_w.t), atol=1e-3)
+        # At least one sequence produced a keyframe (BA actually exercised).
+        assert np.asarray(outs.is_keyframe).any()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs multi-device mesh")
 class TestDistBA:
     def test_sharded_matches_single_device(self, rng):
         import tests.test_window_ba as twb
@@ -78,6 +139,74 @@ class TestDistBA:
                                    atol=5e-4)
         np.testing.assert_allclose(np.asarray(lm_pw), np.asarray(res.state.lm_pw),
                                    atol=5e-3)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs multi-device mesh")
+class TestMultiHost:
+    """Degenerate single-process checks of the multi-host (DCN) layer:
+    the same code paths a 2-host launch uses, minus the second process."""
+
+    def test_initialize_single_process_is_noop(self):
+        from flvis_tpu.parallel import multihost
+
+        multihost.initialize(num_processes=1)       # must not touch runtime
+        assert multihost.process_count() == 1
+        assert multihost.is_primary()
+
+    def test_initialize_requires_coordinator(self):
+        from flvis_tpu.parallel import multihost
+
+        with pytest.raises(ValueError):
+            multihost.initialize(num_processes=2, process_id=0)
+
+    def test_host_slice_covers_all_seqs_one_process(self):
+        from flvis_tpu.parallel import multihost
+
+        mesh = multiseq.make_mesh(8)
+        sl = multihost.host_sequence_slice(16, mesh)
+        assert (sl.start, sl.stop) == (0, 16)
+        with pytest.raises(ValueError):
+            multihost.host_sequence_slice(10, mesh)  # not divisible
+
+    def test_global_batch_feeds_system_dp(self):
+        """make_global_batch-placed data drives the full-system DP program
+        (the exact multi-host steady-state path, process_count=1)."""
+        from flvis_tpu.io.synthetic import PlanarScene, SceneConfig, orbit_trajectory
+        from flvis_tpu.parallel import multihost
+
+        S, T = 4, 2
+        fcfg = FrontendConfig(width=256, height=192, num_slots=64,
+                              pyramid_levels=3, per_cell=4, min_distance=10.0,
+                              margin=12, lk_radius=7, ransac_hypotheses=32)
+        bcfg = BackendConfig(window_size=4, max_landmarks=128, min_views=2,
+                             iters1=4, iters2=3, pallas_schur=False)
+        mesh = multiseq.make_mesh(S)
+        cam1 = camera.make(200.0, 200.0, 128.0, 96.0, 0.12,
+                           width=256, height=192)
+        scfg = SceneConfig(width=256, height=192, fx=200.0, fy=200.0,
+                           cx=128.0, cy=96.0, baseline=0.12)
+        sl = multihost.host_sequence_slice(S, mesh)
+        seqs = []
+        for s in range(S)[sl]:
+            scene = PlanarScene(scfg, plane_depth=8.0, seed=s)
+            frames = [scene.render(R, t)
+                      for (R, t) in orbit_trajectory(T, step=0.04)]
+            seqs.append((np.stack([f[0] for f in frames]),
+                         np.stack([f[1] for f in frames])))
+        local0 = np.stack([x[0] for x in seqs])
+        local1 = np.stack([x[1] for x in seqs])
+        imgs0, imgs1 = multihost.make_global_batch(mesh, (local0, local1))
+        assert imgs0.shape == (S, T, 192, 256)
+        cams = multihost.make_global_batch(
+            mesh, jax.tree.map(
+                lambda a: np.broadcast_to(np.asarray(a),
+                                          (S,) + np.shape(np.asarray(a))),
+                cam1))
+        fe_b, ba_b, corr_b = multiseq.init_system_states(fcfg, bcfg, S, mesh)
+        _, _, _, outs, _ = multiseq.system_chunk_batch(
+            fcfg, bcfg, cams, fe_b, ba_b, corr_b, imgs0, imgs1)
+        st = np.asarray(outs.status)
+        assert st.shape == (S, T) and (st >= 0).all()
 
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs multi-device mesh")
