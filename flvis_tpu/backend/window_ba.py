@@ -138,14 +138,21 @@ def empty(cfg: BackendConfig, dtype=jnp.float32) -> WindowState:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def add_keyframe(cfg: BackendConfig, state: WindowState, kf: KeyframePacket) -> WindowState:
+@functools.partial(jax.jit, static_argnames=("cfg", "axis_name"))
+def add_keyframe(cfg: BackendConfig, state: WindowState, kf: KeyframePacket,
+                 axis_name: str | None = None) -> WindowState:
     """Ring-insert a keyframe and merge its landmark observations.
 
     Covers the window-init and slide paths of the reference
     (vo_localmap.cpp:122-284): the oldest pose slot is overwritten, its
     observations dropped, landmarks orphaned by the slide are freed, and the
     new frame's landmarks are matched to existing slots by id or allocated.
+
+    With `axis_name` (inside shard_map, landmark axis sharded): each shard
+    allocates only the packet landmarks it OWNS (lm_id mod n_shards — a
+    deterministic hash partition), so a replicated packet lands each
+    landmark on exactly one shard; id-matching already touches only the
+    owning shard since that is where the slot was allocated.
     """
     w = state.window
     L = state.capacity
@@ -173,6 +180,10 @@ def add_keyframe(cfg: BackendConfig, state: WindowState, kf: KeyframePacket) -> 
 
     # --- allocate slots for unmatched landmarks -----------------------------
     need = kf.lm_mask & ~has_match
+    if axis_name is not None:
+        own = (kf.lm_id % jax.lax.axis_size(axis_name)) == \
+            jax.lax.axis_index(axis_name)
+        need = need & own
     free = ~state.lm_valid
     free_slots = jnp.nonzero(free, size=L, fill_value=L)[0]
     need_rank = jnp.cumsum(need) - 1
@@ -466,17 +477,23 @@ class BAResult(NamedTuple):
     num_obs: jax.Array
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def optimize(cfg: BackendConfig, cam: StereoCamera, state: WindowState) -> BAResult:
+@functools.partial(jax.jit, static_argnames=("cfg", "axis_name"))
+def optimize(cfg: BackendConfig, cam: StereoCamera, state: WindowState,
+             axis_name: str | None = None) -> BAResult:
     """Run the two-phase windowed BA and produce the feedback Correction.
 
     No-ops (valid=False correction) until the window holds ≥ 3 keyframes,
     matching the reference's UN_INITIALIZED gate (vo_localmap.cpp:100-121).
+
+    With `axis_name` (inside shard_map): landmark arrays are shard-local;
+    the pose-system partial sums are psum-reduced over the mesh axis and
+    the returned Correction's landmark arrays are shard-local rows (gather
+    with all_gather before feeding a replicated consumer).
     """
     poses = state.poses()
     w_mask = state.obs_valid & state.kf_valid[:, None] & state.lm_valid[None, :]
 
-    use_kernel = cfg.pallas_schur
+    use_kernel = cfg.pallas_schur and axis_name is None
     if use_kernel and cfg.window_size > 16 and _schur_kernel_enabled():
         import warnings
 
@@ -495,7 +512,7 @@ def optimize(cfg: BackendConfig, cam: StereoCamera, state: WindowState) -> BARes
     # Phase 1.
     poses1, lm1, _ = _lm_loop(cam, poses, state.lm_pw, obs, w_mask,
                               fixed_pose, cfg.iters1, cfg.huber_delta,
-                              use_kernel=use_kernel)
+                              axis_name=axis_name, use_kernel=use_kernel)
     # Edge cull: chi² > thr (vo_localmap.cpp:292-319).
     r1, _ = _residuals(cam, poses1, lm1, *obs)
     chi2 = jnp.sum(r1 * r1, axis=1)                       # (W, L)
@@ -504,7 +521,7 @@ def optimize(cfg: BackendConfig, cam: StereoCamera, state: WindowState) -> BARes
     obs2 = (state.obs_uv, state.obs_ur, state.obs_ur_valid & w_mask2)
     poses2, lm2, cost = _lm_loop(cam, poses1, lm1, obs2, w_mask2,
                                  fixed_pose, cfg.iters2, cfg.huber_delta,
-                                 use_kernel=use_kernel)
+                                 axis_name=axis_name, use_kernel=use_kernel)
 
     ready = state.count >= 3
     poses_out = jax.tree.map(lambda a, b: jnp.where(ready, b, a), poses, poses2)
@@ -542,5 +559,41 @@ def optimize(cfg: BackendConfig, cam: StereoCamera, state: WindowState) -> BARes
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def reset(cfg: BackendConfig, state: WindowState) -> WindowState:
-    """Full wipe — the KFMSG_CMD_RESET_LM handler (vo_localmap.cpp:89-98)."""
-    return empty(cfg, state.lm_pw.dtype)
+    """Full wipe — the KFMSG_CMD_RESET_LM handler (vo_localmap.cpp:89-98).
+
+    Shape-preserving (derived from `state`, not cfg) so it also works on a
+    landmark-sharded WindowState inside shard_map, where the local landmark
+    axis is cfg.max_landmarks / n_shards."""
+    dtype = state.lm_pw.dtype
+    w, l = state.window, state.capacity
+    return WindowState(
+        kf_q=jnp.tile(jnp.asarray([1.0, 0, 0, 0], dtype), (w, 1)),
+        kf_t=jnp.zeros((w, 3), dtype),
+        kf_frame_id=jnp.full(w, -1, jnp.int32),
+        kf_valid=jnp.zeros(w, bool),
+        lm_pw=jnp.zeros((l, 3), dtype),
+        lm_id=jnp.full(l, -1, jnp.int32),
+        lm_valid=jnp.zeros(l, bool),
+        obs_uv=jnp.zeros((w, l, 2), dtype),
+        obs_ur=jnp.zeros((w, l), dtype),
+        obs_ur_valid=jnp.zeros((w, l), bool),
+        obs_valid=jnp.zeros((w, l), bool),
+        head=jnp.asarray(0, jnp.int32),
+        count=jnp.asarray(0, jnp.int32),
+    )
+
+
+def null_correction_like(state: WindowState, dtype=jnp.float32) -> Correction:
+    """null_correction sized to a (possibly landmark-sharded) WindowState."""
+    l = state.capacity
+    return Correction(
+        frame_id=jnp.asarray(-1, jnp.int32),
+        q=jnp.asarray([1.0, 0, 0, 0], dtype),
+        t=jnp.zeros(3, dtype),
+        lm_id=jnp.full(l, -1, jnp.int32),
+        lm_pw=jnp.zeros((l, 3), dtype),
+        lm_mask=jnp.zeros(l, bool),
+        outlier_id=jnp.full(l, -1, jnp.int32),
+        outlier_mask=jnp.zeros(l, bool),
+        valid=jnp.asarray(False),
+    )

@@ -65,6 +65,10 @@ class FrontendConfig:
     ransac_threshold: float = 3.0       # F-matrix Sampson gate, px
     ransac_hypotheses: int = 128
     min_inliers: int = 10               # failure threshold (ref: <10 at any stage)
+    # Prior-free PnP RANSAC rescue when motion-BA inliers starve — the
+    # reference's per-frame cv::solvePnPRansac role (lkorb_tracking.cpp:
+    # 161-200).  Disable for vmapped batches (cond→select runs it always).
+    pnp_fallback: bool = True
     chi2_cull: float = 9.0              # BA edge cull (ref chi²>3 on ~(px/σ)²)
     huber_delta: float = 2.0
     mad_sigma: float = 3.0

@@ -18,10 +18,14 @@ reference's per-frame pipeline (STEP1..8 comments in image_feed) maps to:
   STEP7/8 keyframe decision: ‖t‖ ≥ 0.05 m or ‖log R‖ ≥ 0.2 rad, plus every
          5th of the first 40 frames (f2f_tracking.cpp:338-354)
 
-Failure handling mirrors the reference: inlier starvation at any stage →
-TrackingFail; the next frame re-initialises from the motion prior and
-re-detects (f2f_tracking.cpp:357-394) and raises `reset_backend` — the
-KFMSG_CMD_RESET_LM equivalent.
+Failure handling mirrors the reference: inlier starvation at any stage
+first runs a prior-free PnP RANSAC rescue (the cv::solvePnPRansac role,
+lkorb_tracking.cpp:161-200); a still-starved frame is ESCAPED (pose chain
+and landmark table untouched — the dummy last/curr swap) and only TWO
+consecutive failures enter TrackingFail (continus_tracking_fail_cnt,
+f2f_tracking.cpp:233-247).  Recovery re-initialises from the motion prior
+and re-detects (357-394), raising `reset_backend` — the KFMSG_CMD_RESET_LM
+equivalent — on every OTHER attempt (the reference's cnt%2 reset thinning).
 
 Everything is ONE jitted XLA program over fixed-shape state; the whole
 TrackerState pytree stays on device between frames.
@@ -44,6 +48,7 @@ from ..geometry.se3 import SE3
 from ..ops import features as feat_ops
 from ..ops import image as imops
 from ..ops import lk as lk_ops
+from ..ops import pnp as pnp_ops
 from ..ops import ransac as ransac_ops
 from . import landmark_table as lt
 
@@ -79,6 +84,11 @@ class TrackerState:
     ring_t: jax.Array          # (R, 3)
     ring_fid: jax.Array        # (R,) i32 frame id, -1 empty
     ring_head: jax.Array       # i32
+    # Failure bookkeeping (two-strike entry + thinned resets, parity with
+    # continus_tracking_fail_cnt / the recovery cnt%2 reset —
+    # f2f_tracking.cpp:233-247, 357-394).
+    fail_count: jax.Array      # i32 consecutive failed frames while Tracking
+    recover_count: jax.Array   # i32 recovery attempts since last success
 
 
 class FrameOutput(NamedTuple):
@@ -107,6 +117,8 @@ def init_state(cfg: FrontendConfig, dtype=jnp.float32) -> TrackerState:
         ring_t=jnp.zeros((64, 3), dtype),
         ring_fid=jnp.full(64, -1, jnp.int32),
         ring_head=jnp.asarray(0, jnp.int32),
+        fail_count=jnp.asarray(0, jnp.int32),
+        recover_count=jnp.asarray(0, jnp.int32),
     )
 
 
@@ -284,6 +296,7 @@ def _init_branch(cfg: FrontendConfig, cam: StereoCamera, state: TrackerState,
     z, ok, st_ok = _measure_depth(cfg, cam, pyr0, pyr1, d_img, table, T_init)
     table = _depth_innovation(cfg, cam, table, T_init, z, ok, st_ok, key,
                               bootstrap=True)
+    was_fail = state.status == STATUS_FAIL
     new_state = dataclasses.replace(
         state,
         table=table, T_c_w=T_init, T_prev=T_init,
@@ -293,12 +306,18 @@ def _init_branch(cfg: FrontendConfig, cam: StereoCamera, state: TrackerState,
         last_kf_T=T_init,
         kf_count=state.kf_count + 1,
         frames_since_kf=jnp.asarray(0, jnp.int32),
+        fail_count=jnp.asarray(0, jnp.int32),
+        recover_count=jnp.where(was_fail, state.recover_count + 1, 0)
+        .astype(jnp.int32),
     )
-    was_fail = state.status == STATUS_FAIL
+    # Backend reset only on every OTHER recovery attempt — the reference
+    # thins its KFMSG_CMD_RESET_LM to cnt%2 of the fail-state frames
+    # (f2f_tracking.cpp:387-391) so marginal scenes don't wipe the BA
+    # window on every hiccup.
     out = FrameOutput(
         T_c_w=T_init,
         is_keyframe=jnp.asarray(True),
-        reset_backend=was_fail,
+        reset_backend=was_fail & (state.recover_count % 2 == 0),
         num_inliers=lt.num_tracked_3d(table),
         mean_reproj_err=jnp.asarray(0.0, jnp.float32),
         status=new_state.status,
@@ -309,7 +328,7 @@ def _init_branch(cfg: FrontendConfig, cam: StereoCamera, state: TrackerState,
 def _track_branch(cfg: FrontendConfig, cam: StereoCamera, state: TrackerState,
                   pyr_prev, pyr0, pyr1, d_img, T_prior: SE3, key):
     table = state.table
-    k_ransac, k_depth = jax.random.split(key)
+    k_ransac, k_depth, k_pnp = jax.random.split(key, 3)
 
     # --- STEP2: LK with projected initial guess -----------------------------
     p_c_pred = se3m.transform_points(T_prior, table.p_w)
@@ -369,12 +388,41 @@ def _track_branch(cfg: FrontendConfig, cam: StereoCamera, state: TrackerState,
     T_new = ba.T_c_w
 
     # --- STEP4: median+MAD reprojection gate --------------------------------
-    reproj = cam_m.project_world(cam, T_new, table.p_w)
-    err = jnp.linalg.norm(reproj - uv_new, axis=-1)
-    mad_ok, _ = ransac_ops.mad_gate(err, ba_mask & ba.inliers, sigma_mult=cfg.mad_sigma)
+    def eval_pose(T, ba_inl):
+        reproj = cam_m.project_world(cam, T, table.p_w)
+        err = jnp.linalg.norm(reproj - uv_new, axis=-1)
+        mad_ok, _ = ransac_ops.mad_gate(err, ba_mask & ba_inl,
+                                        sigma_mult=cfg.mad_sigma)
+        survivors = table.active & lk_ok & f_inl & \
+            jnp.where(table.has_3d, mad_ok, True)
+        return survivors, jnp.sum(survivors & table.has_3d), err
 
-    survivors = table.active & lk_ok & f_inl & jnp.where(table.has_3d, mad_ok, True)
-    num_inl = jnp.sum(survivors & table.has_3d)
+    survivors, num_inl, err = eval_pose(T_new, ba.inliers)
+
+    if cfg.pnp_fallback:
+        # Prior-free PnP rescue before declaring failure: when the prior-
+        # seeded motion BA starves (abrupt un-predicted motion breaks both
+        # LM starts), solve the pose from the F-gated LK matches with
+        # EPnP RANSAC and re-polish — the reference runs cv::solvePnPRansac
+        # on every frame for exactly this robustness
+        # (lkorb_tracking.cpp:161-200); here it costs only starving frames.
+        def rescue(_):
+            xn = jnp.stack([(uv_new[:, 0] - cam.cx) / cam.fx,
+                            (uv_new[:, 1] - cam.cy) / cam.fy], axis=-1)
+            T_pnp, _, _ = pnp_ops.pnp_ransac(
+                k_pnp, table.p_w, xn, ba_mask,
+                threshold_n=cfg.ransac_threshold / cam.fx,
+                num_hypotheses=cfg.ransac_hypotheses)
+            ba2 = run_ba(T_pnp)
+            s2, n2, e2 = eval_pose(ba2.T_c_w, ba2.inliers)
+            return ba2.T_c_w, s2, n2, e2
+
+        def keep(_):
+            return T_new, survivors, num_inl, err
+
+        T_new, survivors, num_inl, err = jax.lax.cond(
+            num_inl < cfg.min_inliers, rescue, keep, None)
+
     failed = num_inl < cfg.min_inliers
 
     # --- update table with tracking results ---------------------------------
@@ -405,7 +453,16 @@ def _track_branch(cfg: FrontendConfig, cam: StereoCamera, state: TrackerState,
         (dt_norm >= cfg.kf_min_trans) | (dr_norm >= cfg.kf_min_rot) | bootstrap
     )
 
-    new_status = jnp.where(failed, STATUS_FAIL, STATUS_TRACKING).astype(jnp.int32)
+    # Two-strike failure entry (continus_tracking_fail_cnt >= 2,
+    # f2f_tracking.cpp:233-247): the first bad frame is ESCAPED — pose
+    # chain, velocity, and landmark table survive unchanged (the reference's
+    # dummy last/curr swap) and tracking continues; only a second
+    # consecutive failure enters the FAIL state.
+    second = failed & (state.fail_count + 1 >= 2)
+    new_status = jnp.where(second, STATUS_FAIL, STATUS_TRACKING).astype(jnp.int32)
+    new_fail_count = jnp.where(
+        failed, jnp.where(second, 0, state.fail_count + 1), 0).astype(jnp.int32)
+
     new_state = dataclasses.replace(
         state,
         table=table,
@@ -419,9 +476,17 @@ def _track_branch(cfg: FrontendConfig, cam: StereoCamera, state: TrackerState,
         ),
         kf_count=state.kf_count + is_kf.astype(jnp.int32),
         frames_since_kf=jnp.where(is_kf, 0, state.frames_since_kf + 1).astype(jnp.int32),
+        fail_count=new_fail_count,
+        recover_count=jnp.asarray(0, jnp.int32),
     )
+    esc_state = dataclasses.replace(
+        state, status=new_status, fail_count=new_fail_count,
+        recover_count=jnp.asarray(0, jnp.int32))
+    new_state = jax.tree.map(lambda a, b: jnp.where(failed, a, b),
+                             esc_state, new_state)
     out = FrameOutput(
-        T_c_w=T_new,
+        T_c_w=jax.tree.map(lambda a, b: jnp.where(failed, a, b),
+                           state.T_c_w, T_new),
         is_keyframe=is_kf,
         reset_backend=jnp.asarray(False),
         num_inliers=num_inl,
@@ -496,12 +561,19 @@ def track_frame(cfg: FrontendConfig, cam: StereoCamera, state: TrackerState,
                              rng_key)
 
     new_state, out = jax.lax.cond(state.status == STATUS_TRACKING, do_track, do_init, state)
+    # Escaped frames keep the last GOOD LK template: the reference's dummy
+    # swap makes the corrupted image the next template, so even a single
+    # blank frame cascades into TrackingFail on the following good frame;
+    # holding the template lets tracking resume across the gap (the pose
+    # prior absorbs the doubled inter-template motion).
+    escaped = (new_state.fail_count > state.fail_count) | \
+        (new_state.status == STATUS_FAIL)
     # Record this frame's pose in the rebase ring (STEP7 pose_records push,
     # f2f_tracking.cpp:329-337).
     h = new_state.ring_head
     new_state = dataclasses.replace(
         new_state,
-        img_prev=img_prev_next,
+        img_prev=jnp.where(escaped, state.img_prev, img_prev_next),
         frame_id=state.frame_id + 1,
         ring_q=new_state.ring_q.at[h].set(new_state.T_c_w.q),
         ring_t=new_state.ring_t.at[h].set(new_state.T_c_w.t),

@@ -368,6 +368,62 @@ def export_kitti_sequence(outdir, num_frames: int = 30, seed: int = 0,
     return outdir
 
 
+@dataclasses.dataclass
+class Degradation:
+    """Photometric / occlusion stress parameters for synthetic sequences.
+
+    The reference is only ever validated on real recordings whose nuisances
+    (sensor noise, auto-exposure steps, foreground occluders) come for free;
+    with real datasets environment-blocked, this reproduces those nuisances
+    on the closed-form scenes so robustness is a tested property rather
+    than an assumption.
+    """
+
+    noise_sigma: float = 0.0         # additive Gaussian noise, 0-255 scale
+    exposure_step_frame: int = -1    # frame index where auto-exposure jumps
+    exposure_gain: float = 1.0       # multiplicative gain after the step
+    exposure_bias: float = 0.0       # additive offset after the step
+    occlusion_boxes: int = 0         # moving foreground occluder count
+    occlusion_size: float = 0.18     # box side as a fraction of image height
+    seed: int = 0
+
+
+def degrade_frame(img_l: np.ndarray, img_r: np.ndarray, frame_idx: int,
+                  deg: Degradation):
+    """Apply the degradation model to one stereo pair (new arrays).
+
+    Noise is INDEPENDENT per image (two sensors); exposure changes hit both
+    (one auto-exposure controller); occluder boxes are drawn in the LEFT
+    image only where they also break the stereo match, plus shifted copies
+    in the right — they move across frames, unlike the scene, so LK tracks
+    landing on them measure wrong flow and must be rejected downstream.
+    """
+    h, w = img_l.shape
+    rng = np.random.default_rng(deg.seed * 100003 + frame_idx)
+    il, ir = img_l.copy(), img_r.copy()
+    if deg.occlusion_boxes:
+        s = int(deg.occlusion_size * h)
+        for b in range(deg.occlusion_boxes):
+            brng = np.random.default_rng(deg.seed * 7919 + b)
+            x0 = int(brng.uniform(0, w - s))
+            y0 = int(brng.uniform(0, h - s))
+            vx, vy = brng.uniform(-6, 6, 2)          # px/frame, scene-inconsistent
+            x = int(np.clip(x0 + vx * frame_idx, 0, w - s))
+            y = int(np.clip(y0 + vy * frame_idx, 0, h - s))
+            patch = textured_image(brng, s, s) * 0.35
+            il[y:y + s, x:x + s] = patch
+            xr = max(0, x - 4)                       # occluder disparity ≠ scene
+            ir[y:y + s, xr:xr + s] = patch[:, : ir[y:y + s, xr:xr + s].shape[1]]
+    if frame_idx >= deg.exposure_step_frame >= 0:
+        il = il * deg.exposure_gain + deg.exposure_bias
+        ir = ir * deg.exposure_gain + deg.exposure_bias
+    if deg.noise_sigma > 0:
+        il = il + rng.normal(0, deg.noise_sigma, il.shape)
+        ir = ir + rng.normal(0, deg.noise_sigma, ir.shape)
+    return (np.clip(il, 0, 255).astype(np.float32),
+            np.clip(ir, 0, 255).astype(np.float32))
+
+
 def orbit_trajectory(num_frames: int, radius: float = 0.5, step: float = 0.02,
                      yaw_rate: float = 0.002):
     """A gently translating + yawing camera path (list of (R, t) world→cam).

@@ -102,3 +102,102 @@ def optimize_sharded(cfg: BackendConfig, mesh: Mesh, cam: StereoCamera,
     poses_out = jax.tree.map(lambda a, b: jnp.where(ready, b, a), poses, poses2)
     lm_out = jnp.where(ready, lm2, state.lm_pw)
     return poses_out, lm_out, cost
+
+
+# ---------------------------------------------------------------------------
+# Fused chunk with the sharded BA INSIDE: the whole frontend+backend replay
+# program under shard_map — frontend replicated on every device (pure
+# compute, no communication), the BA window's landmark axis sharded, with
+# psum for the reduced pose system and one all_gather per keyframe to
+# re-assemble the feedback Correction for the (replicated) tracker.  This is
+# SURVEY §2.3's "distributed sliding-window BA overlapped with the
+# frontend" as a single compiled program.
+# ---------------------------------------------------------------------------
+
+
+def _ws_specs():
+    from ..backend.window_ba import WindowState as WS
+
+    return WS(kf_q=P(), kf_t=P(), kf_frame_id=P(), kf_valid=P(),
+              lm_pw=P("lm"), lm_id=P("lm"), lm_valid=P("lm"),
+              obs_uv=P(None, "lm"), obs_ur=P(None, "lm"),
+              obs_ur_valid=P(None, "lm"), obs_valid=P(None, "lm"),
+              head=P(), count=P())
+
+
+def _corr_specs():
+    from ..backend.window_ba import Correction
+
+    return Correction(frame_id=P(), q=P(), t=P(),
+                      lm_id=P("lm"), lm_pw=P("lm"), lm_mask=P("lm"),
+                      outlier_id=P("lm"), outlier_mask=P("lm"), valid=P())
+
+
+def shard_correction(mesh: Mesh, corr) -> "window_ba.Correction":
+    """Place a Correction's landmark arrays on the mesh's lm axis."""
+    return jax.tree.map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
+        corr, _corr_specs())
+
+
+@functools.partial(jax.jit, static_argnames=("fcfg", "bcfg", "mesh"))
+def chunk_fused_sharded(fcfg, bcfg: BackendConfig, mesh: Mesh, cam,
+                        fe_state, ba_state: WindowState, corr,
+                        imgs0, imgs1):
+    """runner._chunk_fused with the window BA landmark-sharded over `lm`.
+
+    Args match runner._chunk_fused plus the mesh; ba_state via
+    shard_window_state, corr via shard_correction.  Returns
+    (fe_state, ba_state, corr, (outs, costs)).
+    """
+    from ..frontend import tracker
+
+    def body(fe_state, ba_state, corr, imgs0, imgs1):
+        null = window_ba.null_correction_like(ba_state)
+
+        def gather_corr(c):
+            ag = lambda a: jax.lax.all_gather(a, "lm", tiled=True)
+            return c._replace(
+                lm_id=ag(c.lm_id), lm_pw=ag(c.lm_pw), lm_mask=ag(c.lm_mask),
+                outlier_id=ag(c.outlier_id), outlier_mask=ag(c.outlier_mask))
+
+        def step(carry, xs):
+            fe, ba, corr = carry
+            i0, i1 = xs
+            # The tracker is replicated; the Correction's landmark rows are
+            # shard-local → one small all_gather re-assembles them (the only
+            # collective outside the BA solve).
+            fe = tracker.apply_correction(fe, gather_corr(corr))
+            fe, out = tracker.track_frame(fcfg, cam, fe, i0, i1)
+            ba = jax.lax.cond(out.reset_backend,
+                              lambda b: window_ba.reset(bcfg, b),
+                              lambda b: b, ba)
+            pkt = tracker.make_keyframe_packet(fe, out)
+
+            def do_kf(b):
+                st = window_ba.add_keyframe(bcfg, b, pkt, axis_name="lm")
+                res = window_ba.optimize(bcfg, cam, st, axis_name="lm")
+                return res.state, res.correction, res.cost
+
+            def no_kf(b):
+                return b, null, jnp.asarray(0.0, jnp.float32)
+
+            ba, corr_new, cost = jax.lax.cond(out.is_keyframe, do_kf, no_kf, ba)
+            return (fe, ba, corr_new), (out, cost)
+
+        (fe_state, ba_state, corr), ys = jax.lax.scan(
+            step, (fe_state, ba_state, corr), (imgs0, imgs1))
+        return fe_state, ba_state, corr, ys
+
+    ws, cs = _ws_specs(), _corr_specs()
+    # check_vma off: the tracker side is replicated BY CONSTRUCTION (every
+    # shard applies the same all_gather-ed Correction to the same state),
+    # but the static varying-axes analysis cannot prove an all_gather output
+    # replicated and would poison every downstream while_loop carry.
+    shardmapped = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), ws, cs, P(), P()),
+        out_specs=(P(), ws, cs, (P(), P())),
+        check_vma=False,
+    )
+    return shardmapped(fe_state, ba_state, corr, imgs0, imgs1)

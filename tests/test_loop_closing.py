@@ -183,6 +183,45 @@ class TestCapacityGrowth:
         lc.detect_loop(11)
 
 
+class TestPretrainedVocab:
+    def test_save_load_and_detect_with_pretrained_vocab(self, tmp_path):
+        """End-to-end pretrained-vocabulary path: train on one run, save,
+        reload, and hand the loaded vocabulary to a fresh LoopCloser (the
+        reference's /voc param + DBoW3 file load, vo_loopclosing.cpp:
+        1095-1102).  Detection must work from keyframe 0 with no in-run
+        training, and BoW rows must match the original vocabulary's."""
+        from flvis_tpu.loop import bow
+
+        scfg = SceneConfig(width=256, height=192, fx=200.0, fy=200.0,
+                           cx=128.0, cy=96.0, baseline=0.12)
+        scene = PlanarScene(scfg, plane_depth=8.0, seed=9)
+        cam = camera.make(scfg.fx, scfg.fy, scfg.cx, scfg.cy, scfg.baseline,
+                          width=scfg.width, height=scfg.height)
+        cfg = LoopConfig(max_keyframes=32, num_orb_features=128, vocab_words=64,
+                         kf_start=4, kf_dist=2, kf_max_dist=32, nkf_closest=1,
+                         min_score=0.0)
+        lc0 = LoopCloser(cfg, cam)
+        for k in range(10):
+            t = np.asarray([0.04 * k, 0.0, 0.0], np.float32)
+            img_l, img_r, _ = scene.render(np.eye(3), t)
+            lc0.add_keyframe(img_l, img_r, se3.SE3(so3.identity(),
+                                                   jnp.asarray(t)), frame_id=k)
+        assert lc0.vocab is not None
+        path = str(tmp_path / "voc.npz")
+        bow.save(path, lc0.vocab)
+
+        lc1 = LoopCloser(cfg, cam, vocab=bow.load(path))
+        for k in range(10):
+            t = np.asarray([0.04 * k, 0.0, 0.0], np.float32)
+            img_l, img_r, _ = scene.render(np.eye(3), t)
+            lc1.add_keyframe(img_l, img_r, se3.SE3(so3.identity(),
+                                                   jnp.asarray(t)), frame_id=k)
+        assert not lc1._desc_buffer       # no training buffer accumulated
+        np.testing.assert_allclose(np.asarray(lc1.bow_db[:10]),
+                                   np.asarray(lc0.bow_db[:10]), atol=1e-5)
+        lc1.detect_loop(9)                # search path runs on loaded vocab
+
+
 class TestLoopCloserSharded:
     def test_mesh_db_matches_dense_scores(self):
         """LoopCloser with a kf-sharded BoW database produces the same

@@ -142,6 +142,64 @@ class TestDistBA:
 
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs multi-device mesh")
+class TestShardedChunk:
+    def test_chunk_with_sharded_ba_matches_single_device(self):
+        """The fused frontend+backend chunk with the BA landmark axis
+        sharded over a 4-device lm mesh (dist_ba.chunk_fused_sharded):
+        replicated tracker, psum-reduced pose system, all_gather-ed
+        Correction — must reproduce the single-device chunk."""
+        from flvis_tpu.frontend import tracker
+        from flvis_tpu.io.synthetic import MultiPlaneScene, SceneConfig, orbit_trajectory
+        from flvis_tpu.pipeline import runner as runner_m
+
+        T = 6
+        fcfg = FrontendConfig(width=256, height=192, num_slots=64,
+                              pyramid_levels=3, per_cell=4, min_distance=10.0,
+                              margin=12, lk_radius=7, ransac_hypotheses=32,
+                              kf_bootstrap_every=2)
+        bcfg = BackendConfig(window_size=4, max_landmarks=128, min_views=2,
+                             iters1=4, iters2=3, pallas_schur=False)
+        scfg = SceneConfig(width=256, height=192, fx=200.0, fy=200.0,
+                           cx=128.0, cy=96.0, baseline=0.12)
+        cam = camera.make(200.0, 200.0, 128.0, 96.0, 0.12,
+                          width=256, height=192)
+        scene = MultiPlaneScene(scfg, seed=0)
+        frames = [scene.render(R, t) for (R, t) in orbit_trajectory(T, step=0.04)]
+        i0 = jnp.asarray(np.stack([f[0] for f in frames]))
+        i1 = jnp.asarray(np.stack([f[1] for f in frames]))
+
+        _, ba_r, _, ys = runner_m._chunk_fused(
+            fcfg, bcfg, cam, tracker.init_state(fcfg), window_ba.empty(bcfg),
+            window_ba.null_correction(bcfg), i0, i1)
+        out_ref = ys[0]
+
+        mesh = dist_ba.make_lm_mesh(4)
+        ba_sh = dist_ba.shard_window_state(mesh, window_ba.empty(bcfg))
+        c_sh = dist_ba.shard_correction(mesh, window_ba.null_correction(bcfg))
+        _, ba_s, _, (outs, costs) = dist_ba.chunk_fused_sharded(
+            fcfg, bcfg, mesh, cam, tracker.init_state(fcfg), ba_sh, c_sh,
+            i0, i1)
+
+        np.testing.assert_array_equal(np.asarray(outs.status),
+                                      np.asarray(out_ref.status))
+        np.testing.assert_array_equal(np.asarray(outs.is_keyframe),
+                                      np.asarray(out_ref.is_keyframe))
+        np.testing.assert_allclose(np.asarray(outs.T_c_w.t),
+                                   np.asarray(out_ref.T_c_w.t), atol=5e-4)
+        # Same landmark SET with matching refined positions (slot order
+        # differs: the sharded path hash-partitions allocation by id).
+        id_ref = np.asarray(ba_r.lm_id)[np.asarray(ba_r.lm_valid)]
+        id_sh = np.asarray(ba_s.lm_id)[np.asarray(ba_s.lm_valid)]
+        assert set(id_ref) == set(id_sh) and len(id_ref) > 0
+        m_ref = dict(zip(id_ref,
+                         np.asarray(ba_r.lm_pw)[np.asarray(ba_r.lm_valid)]))
+        m_sh = dict(zip(id_sh,
+                        np.asarray(ba_s.lm_pw)[np.asarray(ba_s.lm_valid)]))
+        dmax = max(np.abs(m_ref[i] - m_sh[i]).max() for i in id_ref)
+        assert dmax < 5e-3, dmax
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs multi-device mesh")
 class TestMultiHost:
     """Degenerate single-process checks of the multi-host (DCN) layer:
     the same code paths a 2-host launch uses, minus the second process."""

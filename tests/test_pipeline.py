@@ -140,17 +140,20 @@ class TestChunkReplay:
         frames = [scene.render(R, t)[:2] for (R, t) in poses]
         i0 = np.stack([f[0] for f in frames])
         i1 = np.stack([f[1] for f in frames])
-        i0[5] = 0.0  # blank left frame mid-chunk
+        i0[5] = 0.0  # TWO blank frames mid-chunk (two-strike failure entry)
         i1[5] = 0.0
+        i0[6] = 0.0
+        i1[6] = 0.0
 
         sys_ = SlamSystem(cfg, cam)
         outs = sys_.process_frames(i0, i1)
-        assert int(outs.status[5]) == 2                 # FAIL on the blank
-        assert int(outs.status[6]) == 1                 # recovered
-        assert bool(outs.reset_backend[6])              # reset broadcast
-        assert all(int(s) == 1 for s in outs.status[6:])
-        # The window was wiped at frame 6: only post-reset keyframes remain.
-        n_kf_after = int(np.sum(outs.is_keyframe[6:]))
+        assert int(outs.status[5]) == 1                 # first strike escaped
+        assert int(outs.status[6]) == 2                 # second strike → FAIL
+        assert int(outs.status[7]) == 1                 # recovered
+        assert bool(outs.reset_backend[7])              # reset broadcast
+        assert all(int(s) == 1 for s in outs.status[7:])
+        # The window was wiped at frame 7: only post-reset keyframes remain.
+        n_kf_after = int(np.sum(outs.is_keyframe[7:]))
         assert int(sys_.ba_state.count) == min(n_kf_after,
                                                cfg.backend.window_size)
         C = sys_.trajectory_cam_centers()

@@ -125,15 +125,100 @@ class TestFailureRecovery:
         img_l, img_r, _ = scene.render(R0, t0)
         state, out = tracker.track_frame(cfg, cam, state, jnp.asarray(img_l), jnp.asarray(img_r))
         assert int(out.status) == tracker.STATUS_TRACKING
-        # Feed a blank frame: tracking must fail, not crash.
+        T_before = np.asarray(state.T_c_w.t).copy()
+        # First blank frame: ESCAPED (two-strike entry, f2f_tracking.cpp:
+        # 233-247) — still Tracking, pose chain untouched.
         blank = jnp.zeros_like(jnp.asarray(img_l))
         state, out = tracker.track_frame(cfg, cam, state, blank, blank)
+        assert int(out.status) == tracker.STATUS_TRACKING
+        assert int(state.fail_count) == 1
+        np.testing.assert_array_equal(np.asarray(state.T_c_w.t), T_before)
+        # Second consecutive blank: FAIL.
+        state, out = tracker.track_frame(cfg, cam, state, blank, blank)
         assert int(out.status) == tracker.STATUS_FAIL
-        # Next good frame re-initialises and flags a backend reset.
+        # Next good frame re-initialises; the FIRST recovery attempt flags a
+        # backend reset (subsequent alternate — reset thinning).
         state, out = tracker.track_frame(cfg, cam, state, jnp.asarray(img_l), jnp.asarray(img_r))
         assert int(out.status) == tracker.STATUS_TRACKING
         assert bool(out.reset_backend)
         assert bool(out.is_keyframe)
+
+    def test_single_bad_frame_does_not_fail_or_reset(self):
+        """One corrupted frame mid-run must not enter FAIL (and therefore
+        never wipes the BA window): the frame is escaped and the next good
+        frame continues tracking on the surviving landmark table."""
+        scfg = SceneConfig()
+        scene = PlanarScene(scfg, plane_depth=8.0, seed=2)
+        cfg = small_cfg()
+        cam = camera.make(scfg.fx, scfg.fy, scfg.cx, scfg.cy, scfg.baseline,
+                          width=scfg.width, height=scfg.height)
+        state = tracker.init_state(cfg)
+        poses = orbit_trajectory(4, step=0.02)
+        for (R, t) in poses:
+            il, ir, _ = scene.render(R, t)
+            state, out = tracker.track_frame(cfg, cam, state,
+                                             jnp.asarray(il), jnp.asarray(ir))
+        n3d_before = int(np.asarray(state.table.has_3d & state.table.active).sum())
+        blank = jnp.zeros((scfg.height, scfg.width), jnp.float32)
+        state, out = tracker.track_frame(cfg, cam, state, blank, blank)
+        assert int(out.status) == tracker.STATUS_TRACKING
+        assert not bool(out.reset_backend)
+        # Table survived the escape.
+        n3d = int(np.asarray(state.table.has_3d & state.table.active).sum())
+        assert n3d == n3d_before
+        # Next good frame: normal tracking, no re-init keyframe burst, and
+        # the failure strike is cleared.
+        il, ir, _ = scene.render(*poses[-1])
+        state, out = tracker.track_frame(cfg, cam, state,
+                                         jnp.asarray(il), jnp.asarray(ir))
+        assert int(out.status) == tracker.STATUS_TRACKING
+        assert not bool(out.reset_backend)
+        assert int(state.fail_count) == 0
+        assert int(out.num_inliers) >= cfg.min_inliers
+
+    def test_pnp_rescue_survives_abrupt_motion(self):
+        """A catastrophically wrong pose prior (25° yaw + 3 m offset) starves
+        the prior-seeded motion BA; the prior-free PnP RANSAC fallback
+        (lkorb_tracking.cpp:161-200 role) recovers the true pose from the
+        surviving LK matches and keeps STATUS_TRACKING."""
+        from flvis_tpu.geometry import se3
+
+        scfg = SceneConfig()
+        scene = PlanarScene(scfg, plane_depth=8.0, seed=2)
+        cam = camera.make(scfg.fx, scfg.fy, scfg.cx, scfg.cy, scfg.baseline,
+                          width=scfg.width, height=scfg.height)
+
+        def run(pnp_fallback):
+            cfg = small_cfg(pnp_fallback=pnp_fallback)
+            state = tracker.init_state(cfg)
+            poses = orbit_trajectory(4, step=0.02)
+            for (R, t) in poses:
+                il, ir, _ = scene.render(R, t)
+                state, out = tracker.track_frame(
+                    cfg, cam, state, jnp.asarray(il), jnp.asarray(ir))
+            R_last, t_last = poses[-1]
+            T_true = se3.SE3(so3.from_matrix(jnp.asarray(R_last, jnp.float32)),
+                             jnp.asarray(t_last, jnp.float32))
+            T_next = se3.SE3(T_true.q, T_true.t + jnp.asarray([0.05, 0.0, 0.0]))
+            Rn = np.asarray(so3.to_matrix(T_next.q))
+            il, ir, _ = scene.render(Rn, np.asarray(T_next.t))
+            T_bad = se3.compose(
+                se3.SE3(so3.exp(jnp.asarray([0.0, np.deg2rad(25.0), 0.0])),
+                        jnp.asarray([3.0, 0.0, 0.0], jnp.float32)), T_next)
+            state, out = tracker.track_frame(
+                cfg, cam, state, jnp.asarray(il), jnp.asarray(ir),
+                prior_T=T_bad, use_prior=True)
+            C_gt = -Rn.T @ np.asarray(T_next.t)
+            R_e = np.asarray(so3.to_matrix(out.T_c_w.q))
+            C_e = -R_e.T @ np.asarray(out.T_c_w.t)
+            return out, float(np.linalg.norm(C_gt - C_e))
+
+        out_no, _ = run(False)
+        assert int(out_no.num_inliers) < 10          # BA starved
+        out_yes, err = run(True)
+        assert int(out_yes.status) == tracker.STATUS_TRACKING
+        assert int(out_yes.num_inliers) >= 15
+        assert err < 0.05, err
 
 
 class TestDepthMode:
