@@ -185,17 +185,24 @@ def _apply_pgo(q_s, t_s, q_odom_s, t_odom_s, g_q, g_t, i0, wn, n):
     return q_s, t_s, T_mo.q, T_mo.t
 
 
-@functools.partial(jax.jit, static_argnames=("nkf",))
-def _gate_rows(db, valid_rows, ks, lo, hi, nkf: int):
-    """Loop-candidate gate for a BATCH of query keyframes, fully on device:
-    for each query k, the BoW similarity row, the best candidate in the
-    temporal window [lo, hi), and the neighbour-consistency count
-    (isLoopCandidate, vo_loopclosing.cpp:520-589).  Returns an (M, 4)
-    packed array [cand_idx, best_score, n_close, n_neighbours] — the ONLY
-    thing fetched to the host in the steady-state search path (the round-1
-    implementation fetched the full similarity row per keyframe: one ~27 ms
-    tunnel round trip per keyframe, which would have eaten the 3 ms/KF
-    ingest budget)."""
+@jax.jit
+def _gate_rows(db, valid_rows, ks, lo, hi, nb_dist):
+    """Loop-candidate gate for a BATCH of query keyframes, fully on device
+    (isLoopCandidate, vo_loopclosing.cpp:520-589): for each query k —
+
+      - the BoW similarity row and the best candidate in the temporal
+        window [lo, hi);
+      - the ADAPTIVE minimum score: min similarity of the query to its own
+        recent temporal neighbours [hi, k) above 0.001, clamped to 0.4
+        (lines 547-554) — self-similar scenes raise the bar automatically;
+      - neighbour consistency: other window keyframes within nb_dist
+        (lcKFMaxDist) of the candidate scoring ≥ 0.8·lc_min (lines 560-570).
+
+    Returns an (M, 4) packed array [cand_idx, best, n_close, lc_min] — the
+    ONLY thing fetched to the host in the steady-state search path (the
+    round-1 implementation fetched the full similarity row per keyframe:
+    one ~27 ms tunnel round trip per keyframe, which would have eaten the
+    3 ms/KF ingest budget)."""
     idxs = jnp.arange(db.shape[0])
 
     def one(k, lo_k, hi_k):
@@ -204,15 +211,30 @@ def _gate_rows(db, valid_rows, ks, lo, hi, nkf: int):
         sims_w = jnp.where(in_win, sims, -jnp.inf)
         cand = jnp.argmax(sims_w)
         best = sims_w[cand]
-        nb = (idxs >= jnp.maximum(lo_k, cand - nkf)) & \
-             (idxs < jnp.minimum(hi_k, cand + nkf + 1))
-        close = jnp.sum(jnp.where(nb, sims >= 0.8 * best, False)) - 1
-        navail = jnp.sum(nb) - 1
+        recent = (idxs >= hi_k) & (idxs < k) & (sims > 0.001)
+        lc_min = jnp.min(jnp.where(recent, sims, 1.0))
+        lc_min = jnp.minimum(lc_min, 0.4)
+        nb = in_win & (jnp.abs(idxs - cand) <= nb_dist) & (idxs != cand)
+        close = jnp.sum(nb & (sims >= 0.8 * lc_min))
         return jnp.stack([cand.astype(jnp.float32), best,
-                          close.astype(jnp.float32),
-                          navail.astype(jnp.float32)])
+                          close.astype(jnp.float32), lc_min])
 
     return jax.vmap(one)(ks, lo, hi)
+
+
+def _gate_decision(row, lo: int, hi: int, cfg: LoopConfig):
+    """Host-side accept decision over a _gate_rows row: returns the
+    candidate index or None.  Adaptive bar max(minScore, lc_min) +
+    neighbour consistency (isLoopCandidate, vo_loopclosing.cpp:547-575)."""
+    if hi <= lo:
+        return None
+    cand, best, close, lc_min = int(row[0]), float(row[1]), int(row[2]), \
+        float(row[3])
+    if best < max(cfg.min_score, lc_min):
+        return None
+    if close < cfg.nkf_closest:
+        return None
+    return cand
 
 
 class _PoseView:
@@ -471,18 +493,12 @@ class LoopCloser:
         his = np.asarray([k - cfg.kf_dist for k in ks], np.int32)
         rows = np.asarray(_gate_rows(
             self.bow_db, valid_rows, jnp.asarray(np.asarray(ks, np.int32)),
-            jnp.asarray(los), jnp.asarray(his), nkf=cfg.nkf_closest))
+            jnp.asarray(los), jnp.asarray(his),
+            jnp.asarray(cfg.kf_max_dist, jnp.int32)))
         out = []
         for (k, lo, hi, row) in zip(ks, los, his, rows):
-            if hi <= lo:
-                continue
-            cand, best, close, navail = int(row[0]), float(row[1]), \
-                int(row[2]), int(row[3])
-            if best < cfg.min_score:
-                continue
-            # Neighbour consistency: enough of the candidate's temporal
-            # neighbours must also score well (isLoopCandidate, 520-589).
-            if close < min(cfg.nkf_closest, navail):
+            cand = _gate_decision(row, lo, hi, cfg)
+            if cand is None:
                 continue
             lc = self._verify(cand, k)
             if lc is not None:
@@ -504,12 +520,16 @@ class LoopCloser:
         window = sims[lo:hi]
         cand = int(np.argmax(window)) + lo
         best = float(sims[cand])
-        if best < cfg.min_score:
+        # Same adaptive gate as _gate_rows (isLoopCandidate, 547-575).
+        recent = sims[hi:k]
+        recent = recent[recent > 0.001]
+        lc_min = min(float(recent.min()) if len(recent) else 1.0, 0.4)
+        if best < max(cfg.min_score, lc_min):
             return None
-        n0 = max(lo, cand - cfg.nkf_closest)
-        n1 = min(hi, cand + cfg.nkf_closest + 1)
-        close = np.sum(sims[n0:n1] >= 0.8 * best) - 1
-        if close < min(cfg.nkf_closest, n1 - n0 - 1):
+        idxs = np.arange(lo, hi)
+        nb = (np.abs(idxs - cand) <= cfg.kf_max_dist) & (idxs != cand)
+        close = int(np.sum(window[nb] >= 0.8 * lc_min))
+        if close < cfg.nkf_closest:
             return None
         return self._verify(cand, k)
 

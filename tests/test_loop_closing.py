@@ -183,6 +183,79 @@ class TestCapacityGrowth:
         lc.detect_loop(11)
 
 
+class TestAdaptiveGate:
+    """The adaptive minimum-score gate (isLoopCandidate's lc_min_score,
+    vo_loopclosing.cpp:547-575): on similarity-aliased scenes — where a
+    query's recent temporal neighbours already score moderately against it —
+    the accept bar rises to that neighbour level, rejecting aliased
+    candidates that a fixed minScore would pass."""
+
+    def _rows(self, db, k, lo, hi, cfg):
+        from flvis_tpu.loop.loop_closing import _gate_decision, _gate_rows
+
+        row = np.asarray(_gate_rows(
+            jnp.asarray(db), jnp.asarray(np.arange(len(db)) < len(db)),
+            jnp.asarray([k], jnp.int32), jnp.asarray([lo], jnp.int32),
+            jnp.asarray([hi], jnp.int32),
+            jnp.asarray(cfg.kf_max_dist, jnp.int32)))[0]
+        return row, _gate_decision(row, lo, hi, cfg)
+
+    def _db(self, n_words=4096, K=40, query_sim=0.3, cand_sim=0.25, cand=5):
+        """BoW rows engineered so every recent neighbour scores ~query_sim
+        against the query (row K-1) and the window candidate scores
+        cand_sim.  Rows are SPARSE with near-disjoint random supports, so
+        for L1-normalized rows the mixing fraction f of the query vector
+        gives L1 similarity s = 1 - 0.5*|a-b|_1 ≈ f exactly (dense random
+        rows would already overlap at ~0.66 and defeat the construction)."""
+        rng = np.random.default_rng(0)
+
+        def rand_row():
+            r = np.zeros(n_words, np.float32)
+            idx = rng.choice(n_words, 16, replace=False)
+            r[idx] = rng.uniform(0.5, 1.0, 16).astype(np.float32)
+            return r / r.sum()
+
+        q = rand_row()
+        db = np.zeros((K, n_words), np.float32)
+        for i in range(K):
+            mix = 0.0
+            if i == K - 1:
+                mix = 1.0
+            elif i >= K - 11:          # recent temporal neighbours
+                mix = query_sim
+            elif abs(i - cand) <= 2:   # candidate + its consistency support
+                mix = cand_sim
+            db[i] = mix * q + (1 - mix) * rand_row()
+        return db
+
+    def test_aliased_candidate_rejected(self):
+        cfg = LoopConfig(min_score=0.02, kf_dist=10, kf_max_dist=40,
+                         nkf_closest=1)
+        db = self._db(query_sim=0.35, cand_sim=0.25)
+        row, cand = self._rows(db, k=39, lo=0, hi=29, cfg=cfg)
+        # The fixed bar alone would accept (best ≥ 0.25 > minScore 0.02);
+        # the adaptive bar (≈0.35 from the self-similar neighbours) rejects.
+        assert float(row[1]) > cfg.min_score
+        assert cand is None
+
+    def test_true_revisit_beats_adaptive_bar(self):
+        cfg = LoopConfig(min_score=0.02, kf_dist=10, kf_max_dist=40,
+                         nkf_closest=1)
+        db = self._db(query_sim=0.3, cand_sim=0.7)
+        row, cand = self._rows(db, k=39, lo=0, hi=29, cfg=cfg)
+        assert cand is not None and abs(cand - 5) <= 2
+
+    def test_bar_clamped_at_04(self):
+        """Extremely self-similar neighbours must not push the bar past 0.4
+        (the reference's clamp) — a strong genuine revisit still passes."""
+        cfg = LoopConfig(min_score=0.02, kf_dist=10, kf_max_dist=40,
+                         nkf_closest=1)
+        db = self._db(query_sim=0.9, cand_sim=0.6)
+        row, cand = self._rows(db, k=39, lo=0, hi=29, cfg=cfg)
+        assert abs(float(row[3]) - 0.4) < 1e-5
+        assert cand is not None
+
+
 class TestPretrainedVocab:
     def test_save_load_and_detect_with_pretrained_vocab(self, tmp_path):
         """End-to-end pretrained-vocabulary path: train on one run, save,

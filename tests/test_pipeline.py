@@ -160,6 +160,46 @@ class TestChunkReplay:
         assert np.all(np.isfinite(C))
 
 
+class TestOverlappedPipeline:
+    def test_two_device_pipeline_matches_single_device(self):
+        """Frontend on device 0, window BA on device 1 (pipeline.overlap):
+        JAX async dispatch overlaps the BA with the next frames' tracking;
+        numerics must match the single-device stepwise path exactly (same
+        programs, same one-keyframe-late feedback — only the placement
+        differs)."""
+        import jax
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs 2 devices")
+        from flvis_tpu.pipeline.overlap import OverlappedPipeline
+
+        scfg = SceneConfig()
+        scene = MultiPlaneScene(scfg, seed=3)
+        poses = orbit_trajectory(8, step=0.03)
+        cfg = SystemConfig(
+            frontend=FrontendConfig(width=scfg.width, height=scfg.height,
+                                    num_slots=128, pyramid_levels=3,
+                                    per_cell=8, min_distance=12.0, margin=22),
+            backend=BackendConfig(window_size=5, max_landmarks=256,
+                                  iters1=4, iters2=2))
+        cam = camera.make(scfg.fx, scfg.fy, scfg.cx, scfg.cy, scfg.baseline,
+                          width=scfg.width, height=scfg.height)
+        frames = [scene.render(R, t)[:2] for (R, t) in poses]
+
+        pipe = OverlappedPipeline(cfg, cam)
+        ref = SlamSystem(cfg, cam)
+        for (il, ir) in frames:
+            pipe.process_frame(il, ir)
+            ref.process_frame(il, ir)
+        # Backend state really lives on the second device.
+        assert pipe.ba_dev != pipe.fe_dev
+        assert list(pipe.ba_state.kf_q.devices())[0] == pipe.ba_dev
+        assert list(pipe.fe_state.T_c_w.q.devices())[0] == pipe.fe_dev
+        t_pipe = np.asarray([t for (_, _, t) in pipe.trajectory])
+        t_ref = np.asarray([t for (_, _, q, t) in ref.trajectory])
+        np.testing.assert_allclose(t_pipe, t_ref, atol=1e-6)
+
+
 class TestVioChunk:
     def test_fused_vio_chunk_matches_stepwise(self, tmp_path):
         """EuRoC-mode chunked replay: the fused VIO chunk program (IMU
