@@ -646,6 +646,36 @@ def apply_correction(state: TrackerState, corr):
     )
 
 
+def rebase_pose(state: TrackerState, frame_id, T_new: SE3, do):
+    """Pose-only variant of apply_correction: rebase the pose chain (and the
+    ring entries at/after `frame_id`) onto T_new, leaving the landmark table
+    untouched — the viVisionRPCompensation write-back
+    (f2f_tracking.cpp:251-254), which replaces the frame pose but corrects
+    no landmarks.  Skips apply_correction's two (slots × capacity)
+    id-matching masks (~0.2 ms/frame on TPU for a correction that carries
+    no landmark rows)."""
+    hit = state.ring_fid == frame_id
+    found = jnp.any(hit) & do
+    idx = jnp.argmax(hit)
+    T_old = SE3(state.ring_q[idx], state.ring_t[idx])
+    delta = se3m.compose(se3m.inverse(T_old), T_new)
+
+    def rebase(T: SE3) -> SE3:
+        Tc = se3m.compose(T, delta)
+        return jax.tree.map(lambda a, b: jnp.where(found, b, a), T, Tc)
+
+    newer = (state.ring_fid >= frame_id) & (state.ring_fid >= 0) & found
+    ring_T = se3m.compose(SE3(state.ring_q, state.ring_t), delta)
+    return dataclasses.replace(
+        state,
+        T_c_w=rebase(state.T_c_w),
+        T_prev=rebase(state.T_prev),
+        last_kf_T=rebase(state.last_kf_T),
+        ring_q=jnp.where(newer[:, None], ring_T.q, state.ring_q),
+        ring_t=jnp.where(newer[:, None], ring_T.t, state.ring_t),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "with_packets"))
 def track_frames_scan(cfg: FrontendConfig, cam: StereoCamera,
                       state: TrackerState, imgs0, imgs1,

@@ -189,9 +189,7 @@ def _fused_vio_frame_step(fcfg, bcfg, vcfg, cam, T_i_c, null, carry, xs):
     do_blend = ff.ok & (out.status == tracker.STATUS_TRACKING)
     T_out = jax.tree.map(lambda x, y: jnp.where(do_blend, x, y),
                          T_blend, out.T_c_w)
-    pose_corr = null._replace(frame_id=fe.frame_id - 1,
-                              q=T_out.q, t=T_out.t, valid=do_blend)
-    fe = tracker.apply_correction(fe, pose_corr)
+    fe = tracker.rebase_pose(fe, fe.frame_id - 1, T_out, do_blend)
     out = out._replace(T_c_w=T_out)
 
     ba, pkt, corr_new, cost = _ba_tail(fcfg, bcfg, cam, null, fe, ba, out)
@@ -314,10 +312,10 @@ class SlamSystem:
             # vision pose and rebase the tracker's pose chain onto it.
             T_blend = vimotion.rp_compensate_pose(cfg.vio, out.T_c_w,
                                                   ff.q_w_i, self.T_i_c)
-            pose_corr = window_ba.null_correction(cfg.backend)._replace(
-                frame_id=jnp.asarray(self._frames_processed, jnp.int32),
-                q=T_blend.q, t=T_blend.t, valid=jnp.asarray(True))
-            self.fe_state = tracker.apply_correction(self.fe_state, pose_corr)
+            self.fe_state = tracker.rebase_pose(
+                self.fe_state,
+                jnp.asarray(self._frames_processed, jnp.int32),
+                T_blend, jnp.asarray(True))
             out = out._replace(T_c_w=T_blend)
 
         if bool(out.reset_backend):

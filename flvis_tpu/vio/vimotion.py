@@ -117,72 +117,167 @@ def imu_feed_batch(cfg: VioConfig, state: VioState, acc_batch, gyro_batch, t_bat
     """Integrate a batch of IMU samples (arrays (B, 3), (B, 3), (B,)).
 
     Replaces the per-sample imu_feed callback path
-    (f2f_tracking.cpp:46-57 → viIMUinitialization / viIMUPropagation) with a
-    lax.scan, so an entire inter-frame IMU packet is one device program.
-    `valid` masks padding rows so callers can pad batches to a few fixed
-    sizes and avoid per-shape recompiles.
+    (f2f_tracking.cpp:46-57 → viIMUinitialization / viIMUPropagation) with
+    one device program per inter-frame IMU packet.  `valid` masks padding
+    rows so callers can pad batches to a few fixed sizes and avoid
+    per-shape recompiles.
+
+    Two paths, selected on the initialized flag:
+    - steady state (initialized): `_feed_prop_batch` — everything batchable
+      (dt, bias removal, gyro delta quats, accel trust, the velocity and
+      position integrals as cumsums) is vectorized over the packet, and the
+      irreducible sequential attitude recurrence runs as ONE fused Pallas
+      kernel (ops/pallas/imu_chain.py).  The op-by-op sequential chain was
+      op-dispatch bound at ~0.64 ms per 16-sample packet on TPU
+      (tools/profile_imu_parts.py).
+    - during initialization: `_feed_scan` — the faithful per-sample scan,
+      which also handles the init→propagation transition mid-packet.
     """
-    g_w = jnp.asarray([0.0, 0.0, -cfg.gravity])
     if valid is None:
         valid = jnp.ones(t_batch.shape[0], bool)
+    return jax.lax.cond(
+        state.initialized,
+        lambda st: _feed_prop_batch(cfg, st, acc_batch, gyro_batch, t_batch,
+                                    valid),
+        lambda st: _feed_scan(cfg, st, acc_batch, gyro_batch, t_batch, valid),
+        state)
 
-    def step(st, sample):
+
+def _ring_append(state: VioState, valid, rows):
+    """Append per-sample rows (t, q, pos, vel, acc, gyro) to the ring with
+    one batched scatter per field; rows with valid=False are dropped."""
+    C = state.t.shape[0]
+    vi = valid.astype(jnp.int32)
+    n_ok = jnp.sum(vi)
+    slot = (state.head + jnp.cumsum(vi) - vi) % C      # exclusive prefix sum
+    idx = jnp.where(valid, slot, C)                    # C = out of bounds
+    r_t, r_q, r_p, r_v, r_a, r_g = rows
+    return dataclasses.replace(
+        state,
+        t=state.t.at[idx].set(r_t, mode="drop"),
+        q=state.q.at[idx].set(r_q, mode="drop"),
+        pos=state.pos.at[idx].set(r_p, mode="drop"),
+        vel=state.vel.at[idx].set(r_v, mode="drop"),
+        acc=state.acc.at[idx].set(r_a, mode="drop"),
+        gyro=state.gyro.at[idx].set(r_g, mode="drop"),
+        head=(state.head + n_ok) % C,
+        count=jnp.minimum(state.count + n_ok, C),
+    )
+
+
+def _feed_prop_batch(cfg: VioConfig, state: VioState, acc_b, gyro_b, t_b,
+                     valid):
+    """Steady-state propagation of a whole packet: batched precompute +
+    fused sequential attitude kernel + cumsum integrals.
+
+    Bit-equivalent to the sequential scan given monotonic IMU timestamps
+    (always true of a real stream; the drivers and pack_imu_frames feed
+    monotonic suffix-padded packets) up to the kernel's small-angle series
+    for the tiny accel-correction exp (~1e-7 on the quaternion).
+    """
+    from ..ops.pallas.imu_chain import attitude_chain
+
+    dtype = state.t.dtype
+    g_w = jnp.asarray([0.0, 0.0, -cfg.gravity], dtype)
+    j = _latest(state)
+    t_l, q_l = state.t[j], state.q[j]
+    p_l, v_l = state.pos[j], state.vel[j]
+    am = acc_b - state.bias_acc[None, :]
+    gm = gyro_b - state.bias_gyro[None, :]
+    # Previous-valid-sample time via a running max (monotonic timestamps):
+    # dt_k = clip(t_k − t_prev, 1e-4, 0.05) exactly as the sequential path.
+    t_eff = jnp.where(valid, t_b, -jnp.inf)
+    prev_t = jax.lax.cummax(jnp.concatenate([t_l[None], t_eff]))[:-1]
+    dt = jnp.clip(t_b - prev_t, 1e-4, 0.05)
+    G = so3.exp(gm * dt[:, None])
+    G = jnp.where(valid[:, None], G,
+                  jnp.asarray([1.0, 0, 0, 0], dtype)[None, :])
+    a_norm = jnp.linalg.norm(am, axis=-1)
+    a_unit = am / jnp.maximum(a_norm, 1e-6)[:, None]
+    trust = jnp.exp(-jnp.abs(a_norm - 9.81) / 9.81 * 5.0)
+    c = (10.0 * cfg.madgwick_beta) * trust * dt * valid
+    qs = attitude_chain(q_l, G, a_unit, c)               # (P, 4)
+    # Euler position/velocity integrals (vi_motion.cpp:192-199) as cumsums;
+    # masked samples contribute zero (dt_v = 0) and their rows are dropped.
+    acc_w = so3.rotate(qs, am) + g_w[None, :]
+    dt_v = dt * valid
+    vel = v_l[None, :] + jnp.cumsum(acc_w * dt_v[:, None], axis=0)
+    vel_prev = jnp.concatenate([v_l[None, :], vel[:-1]], axis=0)
+    pos = p_l[None, :] + jnp.cumsum(
+        vel_prev * dt_v[:, None] + 0.5 * acc_w * (dt_v ** 2)[:, None], axis=0)
+    return _ring_append(state, valid, (t_b, qs, pos, vel, acc_b, gyro_b))
+
+
+def _feed_scan(cfg: VioConfig, state: VioState, acc_batch, gyro_batch,
+               t_batch, valid):
+    """Per-sample scan path (initialization + mixed init/prop packets).
+
+    Scan carries ONLY the ~20-float integrator state (latest t/q/pos/vel +
+    biases + init accumulators); ring rows are emitted as scan outputs and
+    written back with one batched scatter per field.  Carrying the whole
+    400-row ring through the per-sample scan body cost ~59 µs/sample on
+    TPU (0.94 ms/frame at P=16, tools/profile_vio_split.py); this layout
+    makes the scan body pure small-vector arithmetic.
+    """
+    g_w = jnp.asarray([0.0, 0.0, -cfg.gravity])
+    j = _latest(state)
+    carry = (state.t[j], state.q[j], state.pos[j], state.vel[j],
+             state.bias_acc, state.bias_gyro, state.initialized,
+             state.init_acc_sum, state.init_gyro_sum, state.init_count)
+
+    def step(carry, sample):
+        t_l, q_l, p_l, v_l, ba, bg, inited, a_sum, g_sum, n_init = carry
         acc, gyro, t, ok = sample
 
-        def do_init(st):
-            n = st.init_count + 1
-            acc_sum = st.init_acc_sum + acc
-            gyro_sum = st.init_gyro_sum + gyro
+        def do_init(_):
+            n = n_init + 1
+            a_s = a_sum + acc
+            g_s = g_sum + gyro
             done = n >= cfg.init_samples
-            q0 = _attitude_from_gravity(acc_sum / n.astype(acc.dtype))
-            st = dataclasses.replace(
-                st,
-                init_acc_sum=acc_sum, init_gyro_sum=gyro_sum, init_count=n,
-                bias_gyro=jnp.where(done, gyro_sum / n.astype(acc.dtype), st.bias_gyro),
-                initialized=st.initialized | done,
-            )
-            # Seed the ring with the init attitude.
-            i = st.head
-            st = dataclasses.replace(
-                st,
-                t=st.t.at[i].set(t),
-                q=st.q.at[i].set(q0),
-                pos=st.pos.at[i].set(jnp.zeros(3, acc.dtype)),
-                vel=st.vel.at[i].set(jnp.zeros(3, acc.dtype)),
-                acc=st.acc.at[i].set(acc), gyro=st.gyro.at[i].set(gyro),
-                head=(st.head + 1) % cfg.imu_capacity,
-                count=jnp.minimum(st.count + 1, cfg.imu_capacity),
-            )
-            return st
+            # Seed attitude from the running gravity mean; latch the gyro
+            # mean as the initial gyro bias when enough samples arrived.
+            q0 = _attitude_from_gravity(a_s / n.astype(acc.dtype))
+            bg2 = jnp.where(done, g_s / n.astype(acc.dtype), bg)
+            z = jnp.zeros(3, acc.dtype)
+            return (t, q0, z, z, ba, bg2, inited | done, a_s, g_s, n)
 
-        def do_prop(st):
-            j = _latest(st)
-            dt = jnp.clip(t - st.t[j], 1e-4, 0.05)
-            q = _madgwick_step(
-                st.q[j], gyro - st.bias_gyro, acc - st.bias_acc,
-                cfg.madgwick_beta, dt,
-            )
+        def do_prop(_):
+            dt = jnp.clip(t - t_l, 1e-4, 0.05)
+            q = _madgwick_step(q_l, gyro - bg, acc - ba,
+                               cfg.madgwick_beta, dt)
             # Position/velocity Euler integration with gravity
             # (vi_motion.cpp:192-199).
-            acc_w = so3.rotate(q, acc - st.bias_acc) + g_w
-            vel = st.vel[j] + acc_w * dt
-            pos = st.pos[j] + st.vel[j] * dt + 0.5 * acc_w * dt * dt
-            i = st.head
-            return dataclasses.replace(
-                st,
-                t=st.t.at[i].set(t), q=st.q.at[i].set(q),
-                pos=st.pos.at[i].set(pos), vel=st.vel.at[i].set(vel),
-                acc=st.acc.at[i].set(acc), gyro=st.gyro.at[i].set(gyro),
-                head=(st.head + 1) % cfg.imu_capacity,
-                count=jnp.minimum(st.count + 1, cfg.imu_capacity),
-            )
+            acc_w = so3.rotate(q, acc - ba) + g_w
+            vel = v_l + acc_w * dt
+            pos = p_l + v_l * dt + 0.5 * acc_w * dt * dt
+            return (t, q, pos, vel, ba, bg, inited, a_sum, g_sum, n_init)
 
-        new_st = jax.lax.cond(st.initialized, do_prop, do_init, st)
-        st = jax.tree.map(lambda a, b: jnp.where(ok, b, a), st, new_st)
-        return st, None
+        # Both branches are ~30 flops of small-vector math: evaluate both and
+        # select, so the fully-unrolled scan below is one straight-line
+        # fusible chain (a lax.cond would fence fusion at every sample).
+        new = jax.tree.map(lambda a, b: jnp.where(inited, a, b),
+                           do_prop(None), do_init(None))
+        carry = jax.tree.map(lambda a, b: jnp.where(ok, b, a), carry, new)
+        # Ring row for this sample (garbage when !ok — dropped by the
+        # scatter below, exactly as the old masked in-scan write skipped it).
+        row = (new[0], new[1], new[2], new[3], acc, gyro)
+        return carry, row
 
-    state, _ = jax.lax.scan(step, state, (acc_batch, gyro_batch, t_batch, valid))
-    return state
+    # Fully unroll the small per-frame packets (fixed P≤32) into one
+    # straight-line fusible chain; long init/replay batches keep a rolled
+    # scan with partial unroll to bound compile time.
+    B = int(t_batch.shape[0])
+    carry, rows = jax.lax.scan(
+        step, carry, (acc_batch, gyro_batch, t_batch, valid),
+        unroll=True if B <= 32 else 8)
+    _, _, _, _, ba, bg, inited, a_sum, g_sum, n_init = carry
+
+    state = _ring_append(state, valid, rows)
+    return dataclasses.replace(
+        state,
+        bias_acc=ba, bias_gyro=bg, initialized=inited,
+        init_acc_sum=a_sum, init_gyro_sum=g_sum, init_count=n_init,
+    )
 
 
 def find_state_idx(state: VioState, t_query):
