@@ -100,22 +100,28 @@ def attitude_chain_ref(q0, G, a_unit, c):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def attitude_chain(q0, G, a_unit, c, interpret: bool | None = None):
+def attitude_chain_pallas(q0, G, a_unit, c, interpret: bool = False):
+    """The kernel itself; interpret=True runs it on CPU for parity tests."""
+    P = G.shape[0]
+    return pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((P, 4), q0.dtype),
+        interpret=interpret,
+    )(q0[None, :], G, a_unit, c[:, None])
+
+
+def attitude_chain(q0, G, a_unit, c):
     """Sequential Madgwick attitude chain.
 
     q0 (4,) start quaternion; G (P,4) per-sample gyro delta quaternions
     (identity rows for masked samples); a_unit (P,3) unit accelerometer
     directions; c (P,) correction gains (0 for masked samples).
     Returns (P,4) quaternions after each sample.
+
+    Dispatch: the fused kernel on TPU; on other backends the unrolled
+    pure-JAX chain (faster than an interpreted kernel, and the parity
+    oracle anyway).
     """
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    if interpret:
-        # On CPU the unrolled pure-JAX chain is faster than an interpreted
-        # kernel and is the parity oracle anyway.
+    if jax.default_backend() != "tpu":
         return attitude_chain_ref(q0, G, a_unit, c)
-    P = G.shape[0]
-    return pl.pallas_call(
-        _kernel,
-        out_shape=jax.ShapeDtypeStruct((P, 4), q0.dtype),
-    )(q0[None, :], G, a_unit, c[:, None])
+    return attitude_chain_pallas(q0, G, a_unit, c)

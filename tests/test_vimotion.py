@@ -155,3 +155,71 @@ class TestMadgwickConvergence:
         # Query BEFORE every buffered sample: must not claim ok.
         ff = vimotion.get_frame_state(st, jnp.asarray(50.0), se3.identity())
         assert not bool(ff.ok)
+
+
+class TestFastPropBatch:
+    """The vectorized+kernel steady-state path vs the per-sample scan."""
+
+    def _inited_state(self, rng):
+        st = vimotion.init_state(CFG)
+        acc, gyro, t = static_samples(40, rng=rng, noise=0.02)
+        st = vimotion.imu_feed_batch(CFG, st, acc, gyro, t)
+        assert bool(st.initialized)
+        return st
+
+    def _dynamic_packet(self, rng, P=16, t0=0.3):
+        acc = jnp.asarray(
+            rng.normal([0.4, -0.2, 9.6], 0.3, (P, 3)).astype(np.float32))
+        gyro = jnp.asarray(rng.normal(0.03, 0.15, (P, 3)).astype(np.float32))
+        t = jnp.asarray((t0 + 0.005 * np.arange(1, P + 1)).astype(np.float32))
+        return acc, gyro, t
+
+    def test_matches_scan_path(self):
+        rng = np.random.default_rng(3)
+        st = self._inited_state(rng)
+        acc, gyro, t = self._dynamic_packet(rng)
+        valid = jnp.ones(16, bool)
+        fast = vimotion._feed_prop_batch(CFG, st, acc, gyro, t, valid)
+        scan = vimotion._feed_scan(CFG, st, acc, gyro, t, valid)
+        for f in ("t", "q", "pos", "vel", "head", "count",
+                  "bias_acc", "bias_gyro"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(fast, f)), np.asarray(getattr(scan, f)),
+                atol=2e-6, err_msg=f)
+
+    def test_masked_suffix_matches_scan(self):
+        rng = np.random.default_rng(4)
+        st = self._inited_state(rng)
+        acc, gyro, t = self._dynamic_packet(rng)
+        valid = jnp.asarray(np.arange(16) < 11)
+        fast = vimotion._feed_prop_batch(CFG, st, acc, gyro, t, valid)
+        scan = vimotion._feed_scan(CFG, st, acc, gyro, t, valid)
+        np.testing.assert_allclose(np.asarray(fast.q), np.asarray(scan.q),
+                                   atol=2e-6)
+        np.testing.assert_allclose(np.asarray(fast.pos), np.asarray(scan.pos),
+                                   atol=2e-6)
+        assert int(fast.head) == int(scan.head)
+
+    def test_dispatcher_uses_scan_during_init(self):
+        """A mixed init->prop packet must go through the faithful scan:
+        samples after the init threshold propagate, before accumulate."""
+        st = vimotion.init_state(CFG)
+        acc, gyro, t = static_samples(30)          # init_samples=20
+        st = vimotion.imu_feed_batch(CFG, st, acc, gyro, t)
+        assert bool(st.initialized)
+        assert int(st.count) == 30                  # every sample ringed
+
+    def test_kernel_interpret_matches_ref(self):
+        from flvis_tpu.ops.pallas.imu_chain import (attitude_chain_pallas,
+                                                    attitude_chain_ref)
+        rng = np.random.default_rng(5)
+        P = 16
+        q0 = so3.normalize(jnp.asarray(rng.normal(0, 1, 4).astype(np.float32)))
+        G = so3.exp(jnp.asarray(rng.normal(0, 0.01, (P, 3)).astype(np.float32)))
+        a = rng.normal(0, 1, (P, 3))
+        a /= np.linalg.norm(a, axis=1, keepdims=True)
+        a = jnp.asarray(a.astype(np.float32))
+        c = jnp.asarray(rng.uniform(0, 0.003, P).astype(np.float32))
+        ref = attitude_chain_ref(q0, G, a, c)
+        ker = attitude_chain_pallas(q0, G, a, c, interpret=True)
+        np.testing.assert_allclose(np.asarray(ker), np.asarray(ref), atol=1e-6)
