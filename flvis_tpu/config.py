@@ -138,7 +138,14 @@ class LoopConfig:
     vocab_words: int = 4096             # flattened BoW vocabulary size
     kf_start: int = 50                  # min KFs before searching (lcKFStart)
     kf_dist: int = 50                   # temporal gate to candidates (lcKFDist)
-    kf_max_dist: int = 5000
+    # Candidate search window: the reference searches the HARDCODED 5000
+    # keyframes before the temporal gate (vo_loopclosing.cpp:529-534) —
+    # distinct from kf_max_dist below, which is only the neighbour radius.
+    search_window: int = 5000
+    # Neighbour-consistency radius |idx − idx_best| ≤ lcKFMaxDist for the
+    # supporting-keyframe count (vo_loopclosing.cpp:568; YAML lcKFMaxDist,
+    # e.g. 50 in launch/KITTI/KITTI.yaml).
+    kf_max_dist: int = 50
     nkf_closest: int = 3                # neighbour-consistency count (lcNKFClosest)
     ratio_max: float = 0.75             # descriptor ratio test
     ratio_ransac: float = 0.55          # PnP inlier-ratio accept gate

@@ -489,8 +489,13 @@ class LoopCloser:
             return [lc for k in ks
                     for lc in (self._detect_sharded(k),) if lc is not None]
         valid_rows = jnp.arange(self.bow_db.shape[0]) < self.count
-        los = np.asarray([max(0, k - cfg.kf_max_dist) for k in ks], np.int32)
+        # Search window [hi − search_window, hi): the reference's HARDCODED
+        # 5000-KF lookback before the temporal gate (vo_loopclosing.cpp:
+        # 529-534); kf_max_dist (YAML lcKFMaxDist) is only the neighbour-
+        # consistency radius passed to the gate (line 568).
         his = np.asarray([k - cfg.kf_dist for k in ks], np.int32)
+        los = np.asarray([max(0, h - cfg.search_window) for h in his],
+                         np.int32)
         rows = np.asarray(_gate_rows(
             self.bow_db, valid_rows, jnp.asarray(np.asarray(ks, np.int32)),
             jnp.asarray(los), jnp.asarray(his),
@@ -513,8 +518,8 @@ class LoopCloser:
         valid_rows = jnp.arange(self.bow_db.shape[0]) < self.count
         sims = np.asarray(self._dist.score_database_sharded(
             self.mesh, self.bow_db[k], self.bow_db, valid_rows))[: self.count]
-        lo = max(0, k - cfg.kf_max_dist)
         hi = k - cfg.kf_dist
+        lo = max(0, hi - cfg.search_window)
         if hi <= lo:
             return None
         window = sims[lo:hi]

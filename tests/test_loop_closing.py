@@ -256,6 +256,88 @@ class TestAdaptiveGate:
         assert cand is not None
 
 
+class TestSearchWindowVsNeighbourRadius:
+    """The reference searches candidates in a HARDCODED 5000-KF window
+    (vo_loopclosing.cpp:529-534) and uses YAML lcKFMaxDist ONLY as the
+    neighbour-consistency radius |idx − idx_best| ≤ lcKFMaxDist (line 568).
+    Conflating them (round 2) made reference YAML configs cripple the search
+    to a ~30-KF lookback and the default config's neighbour check vacuous."""
+
+    def _sparse_row(self, rng, n_words=2048):
+        r = np.zeros(n_words, np.float32)
+        idx = rng.choice(n_words, 16, replace=False)
+        r[idx] = rng.uniform(0.5, 1.0, 16).astype(np.float32)
+        return r / r.sum()
+
+    def _db(self, K, query, cand_rows, cand_sim=0.7, n_words=2048, seed=0):
+        rng = np.random.default_rng(seed)
+        db = np.zeros((K, n_words), np.float32)
+        for i in range(K):
+            mix = cand_sim if i in cand_rows else 0.0
+            if i == K - 1:
+                mix = 1.0
+            db[i] = mix * query + (1 - mix) * self._sparse_row(rng, n_words)
+        return db
+
+    def test_reference_yaml_finds_loop_500_kfs_back(self, tmp_path):
+        """A KITTI-style YAML (lcKFMaxDist=50, lcKFDist=18) must still find
+        a candidate 500 keyframes back — with the round-2 conflation the
+        lookback was [k−50, k−18) and this loop was invisible."""
+        from flvis_tpu.config import load_yaml
+        from flvis_tpu.loop.loop_closing import _gate_decision, _gate_rows
+
+        y = tmp_path / "kitti_style.yaml"
+        y.write_text("type_of_vi: 4\nlcKFStart: 30\nlcKFDist: 18\n"
+                     "lcKFMaxDist: 50\nlcNKFClosest: 2\nminScore: 0.02\n")
+        cfg = load_yaml(str(y)).loop
+        assert cfg.kf_dist == 18 and cfg.kf_max_dist == 50
+        assert cfg.search_window == 5000
+
+        K = 560
+        rng = np.random.default_rng(1)
+        query = self._sparse_row(rng)
+        cand = K - 1 - 500                       # 500 KFs back
+        db = self._db(K, query, {cand, cand + 3, cand - 3}, seed=2)
+        k = K - 1
+        hi = k - cfg.kf_dist
+        lo = max(0, hi - cfg.search_window)
+        assert lo == 0                           # window spans the whole run
+        row = np.asarray(_gate_rows(
+            jnp.asarray(db), jnp.asarray(np.arange(K) < K),
+            jnp.asarray([k], np.int32), jnp.asarray([lo], np.int32),
+            jnp.asarray([hi], np.int32),
+            jnp.asarray(cfg.kf_max_dist, np.int32)))[0]
+        got = _gate_decision(row, lo, hi, cfg)
+        assert got is not None and abs(got - cand) <= 3
+
+    def test_neighbour_gate_rejects_distant_support(self):
+        """Aliased scene: the best candidate's only supporting scores sit
+        ~200 KFs away from it.  With the neighbour radius = 50 the
+        consistency count must be 0 → reject; with the round-2 vacuous gate
+        (radius = whole window) the same db was accepted."""
+        from flvis_tpu.loop.loop_closing import _gate_decision, _gate_rows
+
+        cfg = LoopConfig(min_score=0.02, kf_dist=18, kf_max_dist=50,
+                         nkf_closest=2)
+        K = 400
+        rng = np.random.default_rng(3)
+        query = self._sparse_row(rng)
+        cand = 40
+        # Support rows are far (> kf_max_dist) from the candidate: aliasing,
+        # not a consistent revisit neighbourhood.
+        db = self._db(K, query, {cand, 240, 250}, seed=4)
+        k = K - 1
+        hi = k - cfg.kf_dist
+        lo = max(0, hi - cfg.search_window)
+        gate = lambda nb: _gate_decision(np.asarray(_gate_rows(
+            jnp.asarray(db), jnp.asarray(np.arange(K) < K),
+            jnp.asarray([k], np.int32), jnp.asarray([lo], np.int32),
+            jnp.asarray([hi], np.int32),
+            jnp.asarray(nb, np.int32)))[0], lo, hi, cfg)
+        assert gate(cfg.kf_max_dist) is None          # radius 50: rejected
+        assert gate(K) is not None                    # vacuous radius: passed
+
+
 class TestPretrainedVocab:
     def test_save_load_and_detect_with_pretrained_vocab(self, tmp_path):
         """End-to-end pretrained-vocabulary path: train on one run, save,
