@@ -165,6 +165,7 @@ def main():
     print(f"\nprocessed {n} frames in {elapsed:.1f} s ({n / elapsed:.1f} fps)")
 
     ts = np.asarray([t for (_, t, _, _) in slam.trajectory])
+    slam.flush_loop()     # resolve the last chunk's deferred loop gate
     C = slam.trajectory_cam_centers(loop_corrected=args.loop)
     qs = np.asarray([q for (_, _, q, _) in slam.trajectory])
     trajectory.write_tum(args.out, ts, C, qs)

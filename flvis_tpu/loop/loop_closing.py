@@ -44,13 +44,12 @@ def _db_set_row(db, k, row):
     return db.at[k].set(row)
 
 
-@functools.partial(jax.jit, static_argnames=("num_features", "depth_mode"))
-def _ingest(img_l, img_r, cam: StereoCamera, num_features: int,
-            depth_mode: bool):
-    """Fused thread-A ingest program: ORB detect+compute plus keypoint depth
-    (stereo LK or depth-image lookup) in ONE device program — the reference
-    runs these as successive host calls (vo_loopclosing.cpp:243-351); under
-    a remote-dispatch tunnel every separate program launch is a round trip.
+def _ingest_body(img_l, img_r, cam: StereoCamera, num_features: int,
+                 depth_mode: bool):
+    """Thread-A ingest for ONE keyframe: ORB detect+compute plus keypoint
+    depth (stereo LK or depth-image lookup) — the reference runs these as
+    successive host calls (vo_loopclosing.cpp:243-351).  Shared by the
+    stepwise `_ingest` program and the whole-chunk `_ingest_rows` scan.
     Returns (uv, desc, kp_valid, p_c, pc_valid)."""
     uv, desc, kp_valid, _ = orb.detect_and_compute(
         img_l, num_features=num_features)
@@ -67,6 +66,88 @@ def _ingest(img_l, img_r, cam: StereoCamera, num_features: int,
         d_ok = d_ok & (z > 0.1) & (z < 100.0)
     p_c = cam_m.backproject(cam, uv, z)
     return uv, desc, kp_valid, p_c, d_ok & kp_valid
+
+
+@functools.partial(jax.jit, static_argnames=("num_features", "depth_mode"))
+def _ingest(img_l, img_r, cam: StereoCamera, num_features: int,
+            depth_mode: bool):
+    """Single-keyframe fused ingest program (stepwise path)."""
+    return _ingest_body(img_l, img_r, cam, num_features, depth_mode)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_features", "depth_mode"),
+    donate_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8))
+def _ingest_rows(uv_s, desc_s, kpv_s, pc_s, pcv_s,
+                 q_odom_s, t_odom_s, q_s, t_s,
+                 imgs_l, imgs_r, sel, rows, row_valid,
+                 Tcw_q, Tcw_t, Tmo_q, Tmo_t, cam: StereoCamera,
+                 num_features: int, depth_mode: bool):
+    """Whole-chunk keyframe ingest as ONE device program: gather the chunk's
+    keyframe images from the (T, H, W) stacks, run the per-keyframe ORB +
+    depth ingest under a lax.scan (bounds the pyramid/descriptor working
+    set to one frame), scatter every store row in one batched write, and
+    insert the batch's odometry + drift-corrected node poses.
+
+    The reference's ingest runs on a free-running thread that never blocks
+    tracking (vo_loopclosing.cpp:181-392); the round-2 host loop here cost
+    ~5 device dispatches per keyframe — ~35 keyframes × several ~27 ms
+    tunnel round trips per 64-frame chunk, quintupling system latency
+    (BENCH_r02: 29.7 vs 144.8 fps).  `rows` are the destination store rows;
+    `row_valid` masks bucket padding (invalid rows scatter out of bounds
+    and are dropped).  Returns the updated stores plus the batch's stacked
+    (desc, kp_valid) for BoW transform / vocabulary training.
+
+    Structure: lax.scan over blocks of 8 vmapped ingests — the per-image
+    ingest is a chain of small/medium ops (FAST grid, descriptor gathers,
+    the stereo-LK GN iterations) whose cost is per-op latency, not FLOPs;
+    vmapping 8 images through each op amortizes that latency ~8× while
+    bounding the pyramid working set to 8 frames (a full vmap over a
+    64-keyframe chunk would hold ~50 MB × 8 of pyramids live)."""
+    K = uv_s.shape[0]
+    B = 8
+    sel_b = sel.reshape(-1, B)
+
+    def one(_, sb):
+        outs = jax.vmap(
+            lambda il, ir: _ingest_body(il, ir, cam, num_features,
+                                        depth_mode))(imgs_l[sb], imgs_r[sb])
+        return None, outs
+
+    _, outs = jax.lax.scan(one, None, sel_b)
+    uv, desc, kpv, pc, pcv = jax.tree.map(
+        lambda a: a.reshape((sel.shape[0],) + a.shape[2:]), outs)
+    tgt = jnp.where(row_valid, rows, K)          # OOB rows dropped
+    uv_s = uv_s.at[tgt].set(uv, mode="drop")
+    desc_s = desc_s.at[tgt].set(desc, mode="drop")
+    kpv_s = kpv_s.at[tgt].set(kpv, mode="drop")
+    pc_s = pc_s.at[tgt].set(pc, mode="drop")
+    pcv_s = pcv_s.at[tgt].set(pcv, mode="drop")
+    T_wc = se3m.inverse(SE3(Tcw_q, Tcw_t))       # batched (M, ·)
+    T_node = se3m.compose(SE3(Tmo_q, Tmo_t), T_wc)
+    q_odom_s = q_odom_s.at[tgt].set(T_wc.q, mode="drop")
+    t_odom_s = t_odom_s.at[tgt].set(T_wc.t, mode="drop")
+    q_s = q_s.at[tgt].set(T_node.q, mode="drop")
+    t_s = t_s.at[tgt].set(T_node.t, mode="drop")
+    return (uv_s, desc_s, kpv_s, pc_s, pcv_s,
+            q_odom_s, t_odom_s, q_s, t_s, desc, kpv)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _bow_rows(db, words_pm1, idf, desc_s, kpv_s, rows, row_valid):
+    """Transform stored descriptor rows → tf-idf BoW vectors and scatter
+    them into the database, all in ONE device program (a lax.scan over rows
+    bounds the (F, V) assignment matmul to one keyframe at a time).  Serves
+    both the fresh-chunk path (rows just written by _ingest_rows) and the
+    vocabulary back-fill/refresh (any stored rows)."""
+    vocab = bow.Vocabulary(words_pm1, idf)
+
+    def one(_, ri):
+        return None, bow.transform(vocab, desc_s[ri], kpv_s[ri])
+
+    _, bows = jax.lax.scan(one, None, rows)
+    tgt = jnp.where(row_valid, rows, db.shape[0])
+    return db.at[tgt].set(bows, mode="drop")
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
@@ -379,6 +460,82 @@ class LoopCloser:
                 f"{self.dump_dir}/sim_matrix_{self.count:05d}.txt")
         return k
 
+    def add_keyframes_batch(self, imgs_l, imgs_r, sel, q, t, frame_ids):
+        """Thread-A ingest for a whole CHUNK of keyframes as ~2 device
+        programs (one fused ingest+scatter, one batched BoW transform) —
+        the chunked-replay steady path (see _ingest_rows).
+
+        Args:
+          imgs_l/imgs_r: (T, H, W) device image stacks (the chunk's frames).
+          sel: host int sequence — chunk-frame indices that are keyframes.
+          q/t: (M, 4)/(M, 3) host arrays — T_c_w odometry poses per keyframe.
+          frame_ids: host int sequence of global frame ids.
+        Returns the list of assigned keyframe store indices.
+        """
+        M = len(sel)
+        if M == 0:
+            return []
+        while self.count + M > self.bow_db.shape[0]:
+            self._grow()
+        # Pad the batch to a multiple of 8: jitted programs are shape-keyed
+        # and chunk keyframe counts jitter frame to frame; 8-buckets bound
+        # both recompiles and the padded ingest waste (≤ 7 dummy frames).
+        Mp = ((M + 7) // 8) * 8
+        sel_p = np.concatenate(
+            [np.asarray(sel, np.int32), np.full(Mp - M, sel[-1], np.int32)])
+        rows = np.arange(self.count, self.count + Mp, dtype=np.int32)
+        row_valid = np.arange(Mp) < M
+        q_p = np.concatenate(
+            [np.asarray(q, np.float32),
+             np.tile(np.asarray([1.0, 0, 0, 0], np.float32), (Mp - M, 1))])
+        t_p = np.concatenate(
+            [np.asarray(t, np.float32), np.zeros((Mp - M, 3), np.float32)])
+        (self.kf_uv, self.kf_desc, self.kf_kp_valid, self.kf_pc,
+         self.kf_pc_valid, self.kf_q_odom, self.kf_t_odom, self.kf_q,
+         self.kf_t, desc, kpv) = _ingest_rows(
+            self.kf_uv, self.kf_desc, self.kf_kp_valid, self.kf_pc,
+            self.kf_pc_valid, self.kf_q_odom, self.kf_t_odom, self.kf_q,
+            self.kf_t, jnp.asarray(imgs_l), jnp.asarray(imgs_r),
+            jnp.asarray(sel_p), jnp.asarray(rows), jnp.asarray(row_valid),
+            jnp.asarray(q_p), jnp.asarray(t_p),
+            self.T_map_odom.q, self.T_map_odom.t, self.cam,
+            num_features=self.cfg.num_orb_features,
+            depth_mode=self.depth_mode)
+        old_count = self.count
+        ks = list(range(self.count, self.count + M))
+        self.kf_frame_id[old_count:old_count + M] = np.asarray(
+            frame_ids, np.int64)
+        self.count += M
+        if self.vocab is None:
+            # Stacked device handles; _train_vocab fetches once at training.
+            self._desc_buffer.append((desc, kpv & jnp.asarray(
+                row_valid)[:, None]))
+            if self.count >= 8:
+                self._train_vocab()   # back-fills ALL rows incl. this batch
+        else:
+            self._set_db_rows_batch(rows, row_valid, sharded_rows=ks)
+        if self.dump_dir is not None and \
+                old_count // 10 != self.count // 10:
+            self.dump_sim_matrix(
+                f"{self.dump_dir}/sim_matrix_{self.count:05d}.txt")
+        return ks
+
+    def _set_db_rows_batch(self, rows, row_valid, sharded_rows=None):
+        """Batched BoW transform + db scatter for stored descriptor rows."""
+        if self._dist is not None:
+            # Mesh-sharded database: keep the per-row sharded row-set path.
+            for k in (sharded_rows if sharded_rows is not None
+                      else [int(r) for r, v in zip(rows, row_valid) if v]):
+                self._set_db_row(
+                    k, bow.transform(self.vocab, self.kf_desc[k],
+                                     self.kf_kp_valid[k]))
+            return
+        self.bow_db = _bow_rows(
+            self.bow_db, self.vocab.words_pm1, self.vocab.idf,
+            self.kf_desc, self.kf_kp_valid,
+            jnp.asarray(np.asarray(rows, np.int32)),
+            jnp.asarray(np.asarray(row_valid, bool)))
+
     # -------------------------------------------------------------- debug IO
     def sim_matrix(self) -> np.ndarray:
         """Full pairwise BoW similarity over stored keyframes (count, count)
@@ -462,13 +619,13 @@ class LoopCloser:
             num_words=self.cfg.vocab_words, iters=6,
         )
         self._desc_buffer.clear()
-        # Back-fill BoW vectors for earlier keyframes.
-        for i in range(self.count):
-            self._set_db_row(
-                i,
-                bow.transform(self.vocab, jnp.asarray(self.kf_desc[i]),
-                              jnp.asarray(self.kf_kp_valid[i])),
-            )
+        # Back-fill BoW vectors for every stored keyframe (one batched
+        # program; descriptors are already resident in kf_desc).
+        n = self.count
+        n_pad = ((n + 7) // 8) * 8
+        self._set_db_rows_batch(np.arange(n_pad, dtype=np.int32),
+                                np.arange(n_pad) < n,
+                                sharded_rows=list(range(n)))
 
     # --------------------------------------------------------------- search
     def detect_loop(self, k: int) -> Optional[LoopClosure]:
@@ -477,17 +634,27 @@ class LoopCloser:
         return hits[0] if hits else None
 
     def detect_loops_batch(self, ks) -> list:
-        """Candidate search + geometric check for a BATCH of keyframes
-        (the chunked-replay steady path): one device gate program + ONE
-        (M, 4) fetch for the whole batch; geometric verification (rare)
-        per surviving candidate.  Returns accepted LoopClosures."""
+        """Candidate search + geometric check for a BATCH of keyframes:
+        one device gate program + ONE (M, 4) fetch for the whole batch;
+        geometric verification (rare) per surviving candidate.  Returns
+        accepted LoopClosures."""
+        return self.decide_loops(self.gate_candidates(ks))
+
+    def gate_candidates(self, ks):
+        """Dispatch the batched on-device candidate gate WITHOUT fetching
+        the result — returns an opaque pending handle for decide_loops.
+        The chunked runner resolves it one chunk later, bundling the (M, 4)
+        fetch with the next chunk's packed-output fetch so the steady-state
+        loop path adds ZERO extra host round trips (the reference's search
+        thread lags ingest the same way, vo_loopclosing.cpp:393-518)."""
         cfg = self.cfg
         ks = [k for k in ks if k >= cfg.kf_start]
         if self.vocab is None or not ks:
-            return []
+            return None
         if self._dist is not None:
-            return [lc for k in ks
-                    for lc in (self._detect_sharded(k),) if lc is not None]
+            # Mesh-sharded database: per-query sharded search path stays
+            # synchronous (resolved inside decide_loops).
+            return ("sync", ks)
         valid_rows = jnp.arange(self.bow_db.shape[0]) < self.count
         # Search window [hi − search_window, hi): the reference's HARDCODED
         # 5000-KF lookback before the temporal gate (vo_loopclosing.cpp:
@@ -496,13 +663,33 @@ class LoopCloser:
         his = np.asarray([k - cfg.kf_dist for k in ks], np.int32)
         los = np.asarray([max(0, h - cfg.search_window) for h in his],
                          np.int32)
-        rows = np.asarray(_gate_rows(
+        rows_dev = _gate_rows(
             self.bow_db, valid_rows, jnp.asarray(np.asarray(ks, np.int32)),
             jnp.asarray(los), jnp.asarray(his),
-            jnp.asarray(cfg.kf_max_dist, jnp.int32)))
+            jnp.asarray(cfg.kf_max_dist, jnp.int32))
+        return ("rows", ks, los, his, rows_dev)
+
+    def pending_rows(self, pending):
+        """The device array inside a gate_candidates handle (None if the
+        handle needs no fetch) — lets callers bundle its transfer into an
+        existing jax.device_get."""
+        return pending[4] if pending is not None and pending[0] == "rows" \
+            else None
+
+    def decide_loops(self, pending, rows_np=None) -> list:
+        """Resolve a gate_candidates handle: host accept decisions + (rare)
+        geometric verification.  rows_np: optionally the pre-fetched gate
+        rows (from a bundled device_get); fetched here otherwise."""
+        if pending is None:
+            return []
+        if pending[0] == "sync":
+            return [lc for k in pending[1]
+                    for lc in (self._detect_sharded(k),) if lc is not None]
+        _, ks, los, his, rows_dev = pending
+        rows = np.asarray(rows_dev) if rows_np is None else rows_np
         out = []
         for (k, lo, hi, row) in zip(ks, los, his, rows):
-            cand = _gate_decision(row, lo, hi, cfg)
+            cand = _gate_decision(row, lo, hi, self.cfg)
             if cand is None:
                 continue
             lc = self._verify(cand, k)

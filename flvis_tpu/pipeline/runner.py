@@ -248,6 +248,7 @@ class SlamSystem:
         self.trajectory: list = []      # (frame_id, t_img, q, t)
         self.ba_costs: list = []
         self.loop_closer = None
+        self._pending_gate = None   # deferred loop-gate handle (chunk replay)
         if use_loop:
             from ..loop.loop_closing import LoopCloser
 
@@ -428,15 +429,36 @@ class SlamSystem:
 
     def _finish_chunk(self, ys, imgs0, imgs1, ts, T):
         """Host bookkeeping after a fused chunk program: ONE packed device
-        fetch, then keyframe/trajectory/loop-closing handling."""
+        fetch, then keyframe/trajectory/loop-closing handling.
+
+        The loop node's candidate-gate rows are resolved ONE CHUNK LATE:
+        chunk N dispatches its gate program asynchronously and chunk N+1
+        bundles the (M, 4) row fetch into its own packed-output device_get,
+        so the steady-state loop path costs zero extra round trips (the
+        reference's search thread lags ingest the same way).  Call
+        flush_loop() after the last chunk to resolve the final batch."""
         outs, pkts, corrs, costs = ys
-        packed = np.asarray(_pack_outputs(outs, costs, corrs.valid))
+        packed_dev = _pack_outputs(outs, costs, corrs.valid)
+        prev_gate = getattr(self, "_pending_gate", None)
+        prev_rows = None
+        lc = self.loop_closer
+        pending_dev = lc.pending_rows(prev_gate) if lc is not None else None
+        if pending_dev is not None:
+            packed, prev_rows = jax.device_get((packed_dev, pending_dev))
+            packed = np.asarray(packed)
+        else:
+            packed = np.asarray(packed_dev)
+        if lc is not None and prev_gate is not None:
+            self._pending_gate = None
+            if lc.decide_loops(prev_gate, prev_rows):
+                lc.optimize_graph()
         outs_np = _unpack_outputs(packed)
         first_fid = self._frames_processed
         self._frames_processed += T
-        new_ks = []
+        kf_idx = []
         for i in range(T):
             if bool(outs_np.is_keyframe[i]):
+                kf_idx.append(i)
                 pkt = _slice_tree(pkts, jnp.asarray(i, jnp.int32))
                 self.keyframes.append(pkt)
                 self.ba_costs.append(packed[i, 12])
@@ -444,23 +466,33 @@ class SlamSystem:
                     corr = _slice_tree(corrs, jnp.asarray(i, jnp.int32))
                     self.sparse_map.add_correction(
                         corr.lm_id, corr.lm_pw, corr.lm_mask)
-                if self.loop_closer is not None:
-                    T_c_w = SE3(jnp.asarray(outs_np.T_c_w.q[i]),
-                                jnp.asarray(outs_np.T_c_w.t[i]))
-                    new_ks.append(self.loop_closer.add_keyframe(
-                        imgs0[i], imgs1[i], T_c_w, first_fid + i))
             self.trajectory.append(
                 (first_fid + i, float(ts[i]) if ts is not None else 0.0,
                  outs_np.T_c_w.q[i], outs_np.T_c_w.t[i]))
+        new_ks = []
+        if self.loop_closer is not None and kf_idx:
+            # Whole-chunk loop-node ingest: one fused ingest+scatter program
+            # + one batched BoW program for ALL the chunk's keyframes (the
+            # round-2 per-keyframe host loop cost ~5 dispatches × ~35
+            # keyframes of tunnel round trips per chunk — 144.8 → 29.7 fps).
+            new_ks = self.loop_closer.add_keyframes_batch(
+                imgs0, imgs1, kf_idx,
+                outs_np.T_c_w.q[kf_idx], outs_np.T_c_w.t[kf_idx],
+                [first_fid + i for i in kf_idx])
         if self.loop_closer is not None and new_ks:
-            # One batched candidate-gate program + ONE small fetch for the
-            # whole chunk's keyframes (vs one fetch per keyframe) — the
-            # loop search runs at chunk cadence, like the reference's
-            # free-running pgoProcess thread that lags ingest
-            # (vo_loopclosing.cpp:393-518).
-            if self.loop_closer.detect_loops_batch(new_ks):
-                self.loop_closer.optimize_graph()
+            # Dispatch the batched candidate gate; the decision resolves at
+            # the next chunk's bundled fetch (see docstring above).
+            self._pending_gate = self.loop_closer.gate_candidates(new_ks)
         return outs_np
+
+    def flush_loop(self):
+        """Resolve the deferred loop-candidate gate from the last chunk —
+        call once after replay ends (chunked mode only)."""
+        pending = getattr(self, "_pending_gate", None)
+        if self.loop_closer is not None and pending is not None:
+            self._pending_gate = None
+            if self.loop_closer.decide_loops(pending):
+                self.loop_closer.optimize_graph()
 
     # ------------------------------------------------------------- exports
     def trajectory_cam_centers(self, loop_corrected: bool = False):

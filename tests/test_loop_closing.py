@@ -156,6 +156,105 @@ class TestWindowedPGO:
         assert err_corr < 0.3 * err_odo, (err_corr, err_odo)
 
 
+class TestBatchedIngest:
+    def test_batch_matches_stepwise(self):
+        """add_keyframes_batch (one fused device program per chunk) must
+        leave the SAME store contents as the stepwise add_keyframe loop —
+        same features, depths, poses, and BoW rows (given a shared
+        pretrained vocabulary), and the same loop detections."""
+        from flvis_tpu.loop import bow
+
+        scfg = SceneConfig(width=256, height=192, fx=200.0, fy=200.0,
+                           cx=128.0, cy=96.0, baseline=0.12)
+        scene = PlanarScene(scfg, plane_depth=8.0, seed=21)
+        cam = camera.make(scfg.fx, scfg.fy, scfg.cx, scfg.cy, scfg.baseline,
+                          width=scfg.width, height=scfg.height)
+        cfg = LoopConfig(max_keyframes=32, num_orb_features=128,
+                         vocab_words=64, kf_start=4, kf_dist=2,
+                         kf_max_dist=32, nkf_closest=1, min_score=0.0)
+        # Shared pretrained vocabulary so BoW rows are comparable exactly.
+        lc_tr = LoopCloser(cfg, cam)
+        frames = []
+        for k in range(12):
+            t = np.asarray([0.05 * k, 0.0, 0.0], np.float32)
+            img_l, img_r, _ = scene.render(np.eye(3), t)
+            frames.append((img_l, img_r, t))
+            if k < 9:
+                lc_tr.add_keyframe(img_l, img_r,
+                                   se3.SE3(so3.identity(), jnp.asarray(t)),
+                                   frame_id=k)
+        vocab = lc_tr.vocab
+        assert vocab is not None
+
+        lc_a = LoopCloser(cfg, cam, vocab=vocab)
+        lc_b = LoopCloser(cfg, cam, vocab=vocab)
+        for k, (il, ir, t) in enumerate(frames):
+            lc_a.add_keyframe(il, ir, se3.SE3(so3.identity(),
+                                              jnp.asarray(t)), frame_id=k)
+        # Batch path: two chunks (7 + 5 keyframes) with stacked images.
+        for lo, hi in ((0, 7), (7, 12)):
+            il = jnp.asarray(np.stack([frames[i][0] for i in range(lo, hi)]))
+            ir = jnp.asarray(np.stack([frames[i][1] for i in range(lo, hi)]))
+            q = np.tile(np.asarray([1.0, 0, 0, 0], np.float32),
+                        (hi - lo, 1))
+            t = np.stack([frames[i][2] for i in range(lo, hi)])
+            ks = lc_b.add_keyframes_batch(il, ir, list(range(hi - lo)), q, t,
+                                          list(range(lo, hi)))
+            assert ks == list(range(lo, hi))
+        assert lc_b.count == lc_a.count == 12
+        np.testing.assert_array_equal(np.asarray(lc_b.kf_desc[:12]),
+                                      np.asarray(lc_a.kf_desc[:12]))
+        np.testing.assert_array_equal(np.asarray(lc_b.kf_kp_valid[:12]),
+                                      np.asarray(lc_a.kf_kp_valid[:12]))
+        np.testing.assert_allclose(np.asarray(lc_b.kf_pc[:12]),
+                                   np.asarray(lc_a.kf_pc[:12]), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(lc_b.kf_q[:12]),
+                                   np.asarray(lc_a.kf_q[:12]), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(lc_b.kf_t[:12]),
+                                   np.asarray(lc_a.kf_t[:12]), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(lc_b.bow_db[:12]),
+                                   np.asarray(lc_a.bow_db[:12]), atol=1e-5)
+        np.testing.assert_array_equal(lc_b.kf_frame_id[:12],
+                                      lc_a.kf_frame_id[:12])
+        got_a = lc_a.detect_loops_batch(list(range(12)))
+        got_b = lc_b.detect_loops_batch(list(range(12)))
+        assert [(c.kf_i, c.kf_j) for c in got_a] == \
+            [(c.kf_i, c.kf_j) for c in got_b]
+
+    def test_batch_grows_capacity_and_trains_vocab(self):
+        """A batch larger than the remaining capacity grows the store, and
+        in-run vocabulary training triggers from batched ingest too."""
+        scfg = SceneConfig(width=256, height=192, fx=200.0, fy=200.0,
+                           cx=128.0, cy=96.0, baseline=0.12)
+        scene = PlanarScene(scfg, plane_depth=8.0, seed=22)
+        cam = camera.make(scfg.fx, scfg.fy, scfg.cx, scfg.cy, scfg.baseline,
+                          width=scfg.width, height=scfg.height)
+        cfg = LoopConfig(max_keyframes=8, num_orb_features=128,
+                         vocab_words=64, kf_start=4, kf_dist=2,
+                         kf_max_dist=32, nkf_closest=1, min_score=0.0)
+        lc = LoopCloser(cfg, cam)
+        n = 12
+        il = jnp.asarray(np.stack(
+            [scene.render(np.eye(3),
+                          np.asarray([0.05 * k, 0, 0], np.float32))[0]
+             for k in range(n)]))
+        ir = jnp.asarray(np.stack(
+            [scene.render(np.eye(3),
+                          np.asarray([0.05 * k, 0, 0], np.float32))[1]
+             for k in range(n)]))
+        q = np.tile(np.asarray([1.0, 0, 0, 0], np.float32), (n, 1))
+        t = np.stack([np.asarray([0.05 * k, 0, 0], np.float32)
+                      for k in range(n)])
+        ks = lc.add_keyframes_batch(il, ir, list(range(n)), q, t,
+                                    list(range(n)))
+        assert ks == list(range(n))
+        assert lc.count == n and lc.bow_db.shape[0] == 16
+        assert lc.vocab is not None           # trained from batched buffer
+        # BoW rows back-filled for the whole batch.
+        assert float(jnp.sum(jnp.abs(lc.bow_db[:n]))) > 0
+        lc.detect_loops_batch([n - 1])
+
+
 class TestCapacityGrowth:
     def test_database_grows_past_max_keyframes(self):
         """KITTI-length runs exceed any fixed keyframe budget: the store

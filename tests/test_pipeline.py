@@ -83,6 +83,55 @@ class TestChunkReplay:
         path = 0.03 * len(poses)
         assert ate < 0.02 * path + 0.01, f"ATE {ate:.4f} m over {path:.2f} m"
 
+    def test_chunked_loop_path_deferred_gate(self):
+        """Chunked replay with the loop node on: the whole chunk's keyframes
+        ingest through ONE batched device program, the candidate gate
+        resolves one chunk late (bundled fetch), and a revisit still closes
+        the loop after flush_loop()."""
+        scfg = SceneConfig(width=256, height=192, fx=200.0, fy=200.0,
+                           cx=128.0, cy=96.0, baseline=0.12)
+        scene = PlanarScene(scfg, plane_depth=8.0, seed=11)
+        from flvis_tpu.config import LoopConfig
+
+        cfg = SystemConfig(
+            frontend=FrontendConfig(width=scfg.width, height=scfg.height,
+                                    num_slots=128, pyramid_levels=3,
+                                    per_cell=8, min_distance=12.0, margin=22,
+                                    kf_min_trans=0.04),
+            backend=BackendConfig(window_size=5, max_landmarks=256,
+                                  iters1=8, iters2=4),
+            loop=LoopConfig(max_keyframes=64, num_orb_features=128,
+                            vocab_words=128, kf_start=10, kf_dist=8,
+                            kf_max_dist=64, nkf_closest=2, min_pts=12,
+                            min_score=0.03, ratio_ransac=0.3,
+                            seq_edge_successors=3),
+        )
+        cam = camera.make(scfg.fx, scfg.fy, scfg.cx, scfg.cy, scfg.baseline,
+                          width=scfg.width, height=scfg.height)
+        sys_ = SlamSystem(cfg, cam, use_loop=True)
+        # Out-and-back pan: the last frames revisit the first viewpoints.
+        n = 24
+        half = n // 2
+        xs = list(np.linspace(0, 0.9, half)) + \
+            list(np.linspace(0.9, 0.02, n - half))
+        frames = []
+        for x in xs:
+            R = np.eye(3)
+            t = -R @ np.asarray([x, 0.0, 0.0])
+            frames.append(scene.render(R, t))
+        for c0 in range(0, n, 8):
+            batch = frames[c0:c0 + 8]
+            sys_.process_frames(np.stack([b[0] for b in batch]),
+                                np.stack([b[1] for b in batch]))
+            # Loop store tracks the keyframe stream exactly.
+            assert sys_.loop_closer.count == len(sys_.keyframes)
+        assert sys_.loop_closer.count >= 12
+        sys_.flush_loop()
+        assert sys_._pending_gate is None
+        closures = sys_.loop_closer.closures
+        assert len(closures) >= 1, "revisit not detected via chunked path"
+        assert closures[0].kf_j - closures[0].kf_i >= 8
+
     def test_fused_chunk_matches_stepwise(self):
         """The fused chunk program (frontend + per-keyframe BA + per-frame
         correction feedback in one lax.scan) has the SAME semantics as the
