@@ -270,17 +270,71 @@ def main():
                                   for t in range(T_sys)])
                        for s in range(S_sys)])
     fe_b, ba_b, corr_b = multiseq.init_system_states(cfg, bcfg, S_sys)
+    # ba_every=2: the vmapped keyframe lax.cond lowers to select, so the
+    # per-keyframe cadence pays the full Schur solve EVERY frame of every
+    # sequence (~2.4× lockstep tax measured in round 2, 59.9 agg fps);
+    # deferring the solve to a scan-uniform every-2-frames schedule (a real
+    # branch) runs FEWER solves than keyframe cadence at sub-5 mm trajectory
+    # deviation (tests/test_parallel.py::TestSystemDPBaCadence).
+    BA_EVERY = 2
     for _ in range(2):
         fe_b, ba_b, corr_b, _, _ = multiseq.system_chunk_batch(
-            cfg, bcfg, cams_s, fe_b, ba_b, corr_b, ms_i0, ms_i1)
+            cfg, bcfg, cams_s, fe_b, ba_b, corr_b, ms_i0, ms_i1,
+            ba_every=BA_EVERY)
     sync(fe_b)
     n_ms = 3
     t0 = time.perf_counter()
     for _ in range(n_ms):
         fe_b, ba_b, corr_b, _, _ = multiseq.system_chunk_batch(
-            cfg, bcfg, cams_s, fe_b, ba_b, corr_b, ms_i0, ms_i1)
+            cfg, bcfg, cams_s, fe_b, ba_b, corr_b, ms_i0, ms_i1,
+            ba_every=BA_EVERY)
     sync(fe_b)
     multiseq_system_fps = n_ms * S_sys * T_sys / (time.perf_counter() - t0)
+
+    # --- full-VIO-system multi-sequence DP (8 sequences, one chip) -----------
+    # The north-star workload: the complete stereo+IMU pipeline (IMU
+    # propagation, feedforward priors, RP blend, window BA, bias feedback)
+    # batched over the seq axis (multi-chip sharding of the same program is
+    # validated by __graft_entry__.dryrun_multichip).
+    from flvis_tpu.config import VioConfig
+
+    vcfg_ms = VioConfig()
+    vposes_ms = orbit_trajectory(T_sys, step=0.02)
+    t_imu_m, gyro_m, acc_m, frame_t_m = imu_from_trajectory(
+        vposes_ms, fps=20.0)
+    accs_m, gyros_m, imuts_m = [], [], []
+    prev = -np.inf
+    for ft in frame_t_m:
+        m = (t_imu_m > prev) & (t_imu_m <= ft)
+        accs_m.append(acc_m[m]); gyros_m.append(gyro_m[m])
+        imuts_m.append(t_imu_m[m]); prev = ft
+    from flvis_tpu.pipeline.runner import pack_imu_frames
+    a_p, g_p, t_p, v_p = pack_imu_frames(accs_m, gyros_m, imuts_m, 16)
+    bca = lambda a: jnp.broadcast_to(jnp.asarray(a),
+                                     (S_sys,) + np.shape(a)).copy()
+    ms_ts, ms_a, ms_g, ms_it, ms_iv = (bca(np.asarray(frame_t_m, np.float32)),
+                                       bca(a_p), bca(g_p), bca(t_p), bca(v_p))
+    T_i_cs = jax.tree.map(lambda a: jnp.broadcast_to(a, (S_sys,) + a.shape),
+                          se3.identity())
+    fe_v, ba_v, corr_v, vio_v = multiseq.init_system_states(
+        cfg, bcfg, S_sys, vcfg=vcfg_ms)
+
+    def run_vio_ms(rep):
+        nonlocal fe_v, ba_v, corr_v, vio_v
+        off = rep * (T_sys / 20.0 + 1.0)
+        (fe_v, ba_v, vio_v, corr_v, _, _) = multiseq.system_chunk_batch_vio(
+            cfg, bcfg, vcfg_ms, cams_s, T_i_cs, fe_v, ba_v, vio_v, corr_v,
+            ms_i0, ms_i1, ms_ts + off, ms_a, ms_g, ms_it + off, ms_iv)
+
+    for r in range(2):
+        run_vio_ms(r)
+    sync(fe_v)
+    n_mv = 3
+    t0 = time.perf_counter()
+    for r in range(n_mv):
+        run_vio_ms(2 + r)
+    sync(fe_v)
+    multiseq_vio_fps = n_mv * S_sys * T_sys / (time.perf_counter() - t0)
 
     # --- PGO at KITTI scale: banded solver, 2048-node window ----------------
     # The O(K) block-tridiagonal + Woodbury solver on a 2048-keyframe loop
@@ -359,6 +413,8 @@ def main():
         "system_vio_frames_per_s": round(system_vio_fps, 2),
         "system_loop_frames_per_s": round(system_loop_fps, 2),
         "multiseq_system8_frames_per_s": round(multiseq_system_fps, 1),
+        "multiseq_ba_every": BA_EVERY,
+        "multiseq_system8_vio_frames_per_s": round(multiseq_vio_fps, 1),
         "pgo2048_banded_ms": round(pgo2048_ms, 2),
         "system_chunk": CH,
         "system_keyframe_fraction": round(n_kf / (5.0 * CH), 3),

@@ -134,7 +134,9 @@ class LoopConfig:
     """Loop closing (LC_PARAS, vo_loopclosing.cpp:86-97)."""
 
     max_keyframes: int = 2048           # capacity of the KF database arrays
-    num_orb_features: int = 500
+    # 1000 ORB features per keyframe for place recognition — the reference's
+    # extractor budget (vo_loopclosing.cpp:243-245 `ORB::create(1000, ...)`).
+    num_orb_features: int = 1000
     vocab_words: int = 4096             # flattened BoW vocabulary size
     kf_start: int = 50                  # min KFs before searching (lcKFStart)
     kf_dist: int = 50                   # temporal gate to candidates (lcKFDist)
@@ -155,6 +157,12 @@ class LoopConfig:
     max_rot: float = 1.5                # ‖log R‖ accept gate
     pgo_iters: int = 100                # optimize(100)
     seq_edge_successors: int = 5        # sequential edges to 5 successors
+    # In-run vocabulary refresh: a vocabulary trained on the first 8
+    # keyframes biases words to the opening scene; once this many keyframes
+    # exist the vocabulary is retrained on the whole run and every BoW row
+    # back-filled (one batched program).  0 disables; pretrained
+    # vocabularies (the reference's DBoW3-file path) are never refreshed.
+    vocab_refresh_at: int = 64
 
 
 @dataclasses.dataclass(frozen=True)

@@ -606,7 +606,19 @@ def apply_correction(state: TrackerState, corr):
     """Apply a (late) backend Correction: rebase the current pose chain onto
     the corrected keyframe pose, overwrite landmark positions, kill outliers
     — F2FTracking's STEP1 (f2f_tracking.cpp:189-219) plus
-    forceCorrectLM3DW / forceMarkOutlier (camera_frame.cpp:332-376)."""
+    forceCorrectLM3DW / forceMarkOutlier (camera_frame.cpp:332-376).
+
+    The whole body runs under lax.cond on corr.valid: inside the fused chunk
+    scan this is a REAL branch, so the ~45% of frames that carry no pending
+    correction skip the two (slots × capacity) id-matching masks entirely
+    (they cost ~0.2 ms/frame on TPU).  Under vmap (multi-sequence DP) the
+    cond lowers to select — identical cost to the ungated version."""
+    return jax.lax.cond(corr.valid,
+                        lambda st: _apply_correction_body(st, corr),
+                        lambda st: st, state)
+
+
+def _apply_correction_body(state: TrackerState, corr):
     hit = state.ring_fid == corr.frame_id
     found = jnp.any(hit) & corr.valid
     idx = jnp.argmax(hit)
@@ -646,6 +658,7 @@ def apply_correction(state: TrackerState, corr):
     )
 
 
+@jax.jit
 def rebase_pose(state: TrackerState, frame_id, T_new: SE3, do):
     """Pose-only variant of apply_correction: rebase the pose chain (and the
     ring entries at/after `frame_id`) onto T_new, leaving the landmark table

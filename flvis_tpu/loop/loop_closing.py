@@ -169,6 +169,17 @@ def _pose_set_rows(q_odom_s, t_odom_s, q_s, t_s, k, Tcw_q, Tcw_t,
             q_s.at[k].set(T_node.q), t_s.at[k].set(T_node.t))
 
 
+@jax.jit
+def _match_pairs(desc_s, kpv_s, pcv_s, i, j, ratio):
+    """Mutual-ratio matches between stored keyframes i and j — the debug
+    companion of _verify_device, fetched only when rendering an accepted
+    loop's match image (vo_loopclosing.cpp:689-722)."""
+    valid_i = kpv_s[i] & pcv_s[i]
+    valid_j = kpv_s[j]
+    return orb.mutual_ratio_match(desc_s[i], desc_s[j], valid_i, valid_j,
+                                  ratio=ratio)
+
+
 @functools.partial(jax.jit, static_argnames=("num_hypotheses",))
 def _verify_device(desc_s, kpv_s, pcv_s, pc_s, uv_s, node_q, node_t, i, j,
                    fx, fy, cx, cy, key,
@@ -403,6 +414,14 @@ class LoopCloser:
         self.closures: list[LoopClosure] = []
         self.T_map_odom: SE3 = se3m.identity()   # drift: corrected ∘ odom⁻¹
         self._desc_buffer: list = []  # (desc, valid) device pairs until vocab trains
+        # Debug mode keeps host copies of keyframe left images so accepted
+        # loops can render a side-by-side match image (vo_loopclosing.cpp:
+        # 689-722); steady-state runs keep nothing image-sized on the host.
+        self._kf_imgs: list | None = [] if dump_dir is not None else None
+        # In-run vocabulary bookkeeping (refresh applies only to
+        # vocabularies trained here, never to a pretrained one).
+        self._in_run_vocab = False
+        self._vocab_refreshed = False
 
     # SE3-row accessors over the batched pose tables (API compatibility).
     @property
@@ -455,6 +474,9 @@ class LoopCloser:
         if self.vocab is not None:
             self._set_db_row(k, bow.transform(self.vocab, desc, kp_valid))
         self.count += 1
+        self._maybe_refresh_vocab()
+        if self._kf_imgs is not None:
+            self._kf_imgs.append(np.asarray(img_l))
         if self.dump_dir is not None and self.count % 10 == 0:
             self.dump_sim_matrix(
                 f"{self.dump_dir}/sim_matrix_{self.count:05d}.txt")
@@ -514,6 +536,11 @@ class LoopCloser:
                 self._train_vocab()   # back-fills ALL rows incl. this batch
         else:
             self._set_db_rows_batch(rows, row_valid, sharded_rows=ks)
+        self._maybe_refresh_vocab()
+        if self._kf_imgs is not None:
+            self._kf_imgs.extend(
+                np.asarray(jnp.asarray(imgs_l)[jnp.asarray(
+                    np.asarray(sel, np.int32))]))
         if self.dump_dir is not None and \
                 old_count // 10 != self.count // 10:
             self.dump_sim_matrix(
@@ -618,6 +645,7 @@ class LoopCloser:
             jnp.asarray(all_desc), np.ones(len(all_desc), bool),
             num_words=self.cfg.vocab_words, iters=6,
         )
+        self._in_run_vocab = True
         self._desc_buffer.clear()
         # Back-fill BoW vectors for every stored keyframe (one batched
         # program; descriptors are already resident in kf_desc).
@@ -626,6 +654,36 @@ class LoopCloser:
         self._set_db_rows_batch(np.arange(n_pad, dtype=np.int32),
                                 np.arange(n_pad) < n,
                                 sharded_rows=list(range(n)))
+
+    def _maybe_refresh_vocab(self):
+        """Retrain the IN-RUN vocabulary once the run has out-grown its
+        first-8-keyframes training set (LoopConfig.vocab_refresh_at), then
+        back-fill every BoW row in one batched program.  A vocabulary whose
+        words all come from the opening scene scores late-sequence revisits
+        against a near-degenerate word set; the reference sidesteps this
+        with an offline-trained DBoW3 file (vo_loopclosing.cpp:1095-1102),
+        which the in-run path replaces."""
+        cfg = self.cfg
+        if (not self._in_run_vocab or self._vocab_refreshed
+                or cfg.vocab_refresh_at <= 0
+                or self.count < cfg.vocab_refresh_at):
+            return
+        n = self.count
+        desc = np.asarray(self.kf_desc[:n])          # one fetch, once per run
+        kpv = np.asarray(self.kf_kp_valid[:n])
+        all_desc = desc[kpv]
+        if len(all_desc) > 8192:                     # bound the k-means cost
+            sel = np.random.default_rng(1).choice(len(all_desc), 8192,
+                                                  replace=False)
+            all_desc = all_desc[sel]
+        self.vocab = bow.train(
+            jnp.asarray(all_desc), np.ones(len(all_desc), bool),
+            num_words=cfg.vocab_words, iters=6, seed=1)
+        n_pad = ((n + 7) // 8) * 8
+        self._set_db_rows_batch(np.arange(n_pad, dtype=np.int32),
+                                np.arange(n_pad) < n,
+                                sharded_rows=list(range(n)))
+        self._vocab_refreshed = True
 
     # --------------------------------------------------------------- search
     def detect_loop(self, k: int) -> Optional[LoopClosure]:
@@ -752,6 +810,21 @@ class LoopCloser:
             return None
         lc = LoopClosure(i, j, n_inl, SE3(jnp.asarray(q_ij), jnp.asarray(t_ij)))
         self.closures.append(lc)
+        if self._kf_imgs is not None and len(self._kf_imgs) > max(i, j):
+            # Accepted-loop match image (the reference's main human
+            # debugging surface for bad loops, vo_loopclosing.cpp:689-722).
+            from ..viz import overlay
+
+            mj, good = _match_pairs(
+                self.kf_desc, self.kf_kp_valid, self.kf_pc_valid,
+                jnp.asarray(i, jnp.int32), jnp.asarray(j, jnp.int32),
+                cfg.ratio_max)
+            img = overlay.draw_loop_match(
+                self._kf_imgs[i], self._kf_imgs[j],
+                np.asarray(self.kf_uv[i]), np.asarray(self.kf_uv[j]),
+                np.asarray(mj), np.asarray(good))
+            overlay.save_png(
+                f"{self.dump_dir}/loop_match_{i:05d}_{j:05d}.png", img)
         return lc
 
     # ------------------------------------------------------------------ PGO

@@ -130,20 +130,40 @@ def optimize(graph: PoseGraph, fixed_mask, iters: int = 20, cauchy_c: float = 1.
         dx = jnp.linalg.solve(Hd, bv).reshape(K, 6)
         return se3m.compose(nodes, se3m.exp(dx))
 
-    def body(_, carry):
-        nodes, lam, cost = carry
+    nodes, cost = _lm_outer_loop(lm_step, total_cost, Ti_all, lam0, iters)
+    return dataclasses.replace(graph, node_q=nodes.q, node_t=nodes.t), cost
+
+
+def _lm_outer_loop(lm_step, total_cost, nodes0: SE3, lam0: float, iters: int):
+    """Shared LM accept/reject loop with early exit: stop once an ACCEPTED
+    step improves the cost by < 1e-6 relative — the same "chi² stopped
+    moving" criterion g2o's optimize(N) uses to return before N iterations.
+    Each avoided iteration saves a full assemble+solve (~20 ms at 2048
+    nodes), which is what keeps warm/easy solves far under the iteration
+    cap."""
+
+    def body(carry):
+        it, nodes, lam, cost, _ = carry
         new_nodes = lm_step(nodes, lam)
         new_cost = total_cost(new_nodes)
         better = new_cost < cost
-        nodes = jax.tree.map(lambda a, b_: jnp.where(better, b_, a), nodes, new_nodes)
-        lam = jnp.where(better, jnp.maximum(lam * 0.3, 1e-8), jnp.minimum(lam * 6.0, 1e4))
+        nodes = jax.tree.map(
+            lambda a, b_: jnp.where(better, b_, a), nodes, new_nodes)
+        lam = jnp.where(better, jnp.maximum(lam * 0.3, 1e-8),
+                        jnp.minimum(lam * 6.0, 1e4))
+        done = better & (cost - new_cost < 1e-6 * cost)
         cost = jnp.where(better, new_cost, cost)
-        return nodes, lam, cost
+        return it + 1, nodes, lam, cost, done
 
-    nodes, _, cost = jax.lax.fori_loop(
-        0, iters, body, (Ti_all, jnp.asarray(lam0), total_cost(Ti_all))
-    )
-    return dataclasses.replace(graph, node_q=nodes.q, node_t=nodes.t), cost
+    def cond(carry):
+        it, _, _, _, done = carry
+        return (it < iters) & ~done
+
+    _, nodes, _, cost, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.asarray(0, jnp.int32), nodes0, jnp.asarray(lam0),
+         total_cost(nodes0), jnp.asarray(False)))
+    return nodes, cost
 
 
 # ---------------------------------------------------------------------------
@@ -152,8 +172,8 @@ def optimize(graph: PoseGraph, fixed_mask, iters: int = 20, cauchy_c: float = 1.
 # The dense path above allocates a (K, K, 6, 6) H — 604 MB at K=2048 — and
 # solves O((6K)³).  But the reference's PGO graph is nearly banded: the
 # sequential edges span ≤5 keyframes (vo_loopclosing.cpp:834-859) and only
-# the few loop-closure edges couple distant nodes.  Grouping `super` (=8)
-# consecutive poses into one 48-dof super-node makes the banded part exactly
+# the few loop-closure edges couple distant nodes.  Grouping `super` (=16)
+# consecutive poses into one 96-dof super-node makes the banded part exactly
 # BLOCK-TRIDIAGONAL (any edge with span ≤ super couples adjacent super-nodes
 # only), which a lax.scan Thomas elimination factors in O(K) with fixed
 # shapes — the TPU-idiomatic sequential-but-compiled pattern.  Loop edges
@@ -163,7 +183,12 @@ def optimize(graph: PoseGraph, fixed_mask, iters: int = 20, cauchy_c: float = 1.
 # solve replaces the dense factorization.  Memory is O(K·super·36 + K·6·6L).
 # ---------------------------------------------------------------------------
 
-_SUPER = 8  # poses per super-node; must be ≥ the max sequential-edge span
+# Poses per super-node; must be ≥ the max sequential-edge span (5).  16 was
+# measured faster than 8 at 2048 nodes: the Thomas scan is a SEQUENTIAL
+# chain of small LU solves, so halving the super-node count (256 → 128
+# steps) wins more than the 2× bigger (96, 96) blocks cost — the blocks are
+# still far below the TPU's latency/FLOP crossover.
+_SUPER = 16
 
 
 def _thomas_solve(D, U, X):
@@ -313,18 +338,5 @@ def optimize_banded(graph: PoseGraph, fixed_mask, band_edges: int,
         dx = jnp.where(held[:, None], 0.0, dx)
         return se3m.compose(nodes, se3m.exp(dx))
 
-    def body(_, carry):
-        nodes, lam, cost = carry
-        new_nodes = lm_step(nodes, lam)
-        new_cost = total_cost(new_nodes)
-        better = new_cost < cost
-        nodes = jax.tree.map(
-            lambda a, b_: jnp.where(better, b_, a), nodes, new_nodes)
-        lam = jnp.where(better, jnp.maximum(lam * 0.3, 1e-8),
-                        jnp.minimum(lam * 6.0, 1e4))
-        cost = jnp.where(better, new_cost, cost)
-        return nodes, lam, cost
-
-    nodes, _, cost = jax.lax.fori_loop(
-        0, iters, body, (Ti_all, jnp.asarray(lam0), total_cost(Ti_all)))
+    nodes, cost = _lm_outer_loop(lm_step, total_cost, Ti_all, lam0, iters)
     return dataclasses.replace(graph, node_q=nodes.q, node_t=nodes.t), cost

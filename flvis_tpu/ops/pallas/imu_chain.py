@@ -15,9 +15,10 @@ irreducible recurrence
 
 runs here, statically unrolled inside ONE kernel so the whole chain costs
 one dispatch.  G_k (gyro delta quat) is precomputed; the accel-correction
-exp uses a 2nd-order small-angle series (|c_k·err| ≤ ~0.003 rad in any real
-IMU stream ⇒ error O(θ⁴) ≈ 1e-10, then renormalized) — parity with the
-pure-JAX reference chain is ~1e-7.
+exp uses a 2nd-order small-angle series.  The correction angle is bounded by
+|c_k·err| ≤ 10·β·dt ≈ 0.025 rad (default madgwick_beta=0.05 with the 0.05 s
+dt clip, |a × ĝ| ≤ 1); the series error is O(θ⁴) ≈ 1e-7 there (then
+renormalized), so parity with the pure-JAX reference chain is ~1e-7.
 
 Mosaic idioms (see CLAUDE.md): all intermediates are (1,1)/(1,N) 2D blocks —
 never 0-/1-D — and the only transcendental is rsqrt.
@@ -110,7 +111,7 @@ def attitude_chain_pallas(q0, G, a_unit, c, interpret: bool = False):
     )(q0[None, :], G, a_unit, c[:, None])
 
 
-def attitude_chain(q0, G, a_unit, c):
+def attitude_chain(q0, G, a_unit, c, use_kernel: bool | None = None):
     """Sequential Madgwick attitude chain.
 
     q0 (4,) start quaternion; G (P,4) per-sample gyro delta quaternions
@@ -120,8 +121,14 @@ def attitude_chain(q0, G, a_unit, c):
 
     Dispatch: the fused kernel on TPU; on other backends the unrolled
     pure-JAX chain (faster than an interpreted kernel, and the parity
-    oracle anyway).
+    oracle anyway).  CAVEAT: the default selection reads
+    jax.default_backend() at TRACE time — if the enclosing jit targets a
+    non-default device (e.g. explicit CPU placement inside a TPU-default
+    process) the wrong branch would be baked in; pass use_kernel
+    explicitly in that situation.
     """
-    if jax.default_backend() != "tpu":
+    if use_kernel is None:
+        use_kernel = jax.default_backend() == "tpu"
+    if not use_kernel:
         return attitude_chain_ref(q0, G, a_unit, c)
     return attitude_chain_pallas(q0, G, a_unit, c)

@@ -111,6 +111,38 @@ def _local_dev_count(mesh: Mesh) -> int:
                for d in mesh.devices.ravel())
 
 
+def init_system_states_global(fcfg, bcfg, num_seqs: int, mesh: Mesh,
+                              vcfg=None, axis: str = "seq"):
+    """multiseq.init_system_states for a MULTI-PROCESS global mesh.
+
+    The single-process version builds host arrays and device_puts them onto
+    the mesh; with processes owning disjoint device subsets that put cannot
+    span non-addressable devices.  Here the batched initial states are
+    constructed INSIDE one jit program with sharded out_shardings — every
+    process compiles the same SPMD program and each materializes only its
+    own shards.
+    """
+    from ..backend import window_ba
+    from ..frontend import tracker
+    from ..vio import vimotion
+
+    def build():
+        ones = [tracker.init_state(fcfg), window_ba.empty(bcfg),
+                window_ba.null_correction(bcfg)]
+        if vcfg is not None:
+            ones.append(vimotion.init_state(vcfg))
+        return tuple(
+            jax.tree.map(
+                lambda a: jnp.broadcast_to(a, (num_seqs,) + a.shape), one)
+            for one in ones)
+
+    shapes = jax.eval_shape(build)
+    out_sh = jax.tree.map(
+        lambda s: NamedSharding(
+            mesh, P(*((axis,) + (None,) * (len(s.shape) - 1)))), shapes)
+    return jax.jit(build, out_shardings=out_sh)()
+
+
 def process_count() -> int:
     return jax.process_count()
 

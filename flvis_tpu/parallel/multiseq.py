@@ -149,9 +149,10 @@ def init_system_states(fcfg: FrontendConfig, bcfg: BackendConfig,
     return tuple(out)
 
 
-@functools.partial(jax.jit, static_argnames=("fcfg", "bcfg"))
+@functools.partial(jax.jit, static_argnames=("fcfg", "bcfg", "ba_every"))
 def system_chunk_batch(fcfg: FrontendConfig, bcfg: BackendConfig, cams,
-                       fe_states, ba_states, corrs, imgs0, imgs1):
+                       fe_states, ba_states, corrs, imgs0, imgs1,
+                       ba_every: int = 1):
     """Fused frontend+backend chunk for S independent sequences: lax.scan
     over T frames of the vmapped per-frame step (runner._fused_frame_step).
 
@@ -159,25 +160,84 @@ def system_chunk_batch(fcfg: FrontendConfig, bcfg: BackendConfig, cams,
       cams: StereoCamera pytree with leading (S,) axis.
       fe_states/ba_states/corrs: batched states (init_system_states).
       imgs0/imgs1: (S, T, H, W) stacked frames, seq-sharded under a mesh.
+      ba_every: window-BA cadence.  1 (default) = per-keyframe, exactly the
+        single-sequence semantics — but under vmap the keyframe lax.cond
+        lowers to select, so EVERY frame of every sequence pays the full
+        12+8 Schur solve (~2.4× lockstep overhead at the benched 0.55
+        keyframe fraction).  N>1 = keyframes still enter the window every
+        frame (cheap masked insert), but the solve runs once per N frames
+        on a SCAN-UNIFORM schedule (a real branch, since the predicate is
+        the frame index, not per-sequence data); its Correction is applied
+        on the next frame.  Corrections then arrive ≤N frames late — the
+        same "feedback arrives K frames late and is rebased" contract the
+        reference's async BA topic has (f2f_tracking.cpp:189-219).  With
+        the 0.55 keyframe fraction, ba_every=2 runs FEWER solves than
+        keyframe cadence at sub-mm trajectory deviation (test_parallel.py
+        TestSystemDPBaCadence).
     Returns: (fe_states, ba_states, corrs, FrameOutput (S, T, ...),
-      ba costs (S, T)).
+      ba costs (S, T); with ba_every>1 cost rows are 0 on non-BA frames).
     """
     bcfg = _batched_bcfg(bcfg)
     null = window_ba.null_correction(bcfg)
     xs = (jnp.swapaxes(imgs0, 0, 1), jnp.swapaxes(imgs1, 0, 1))
 
+    if ba_every == 1:
+        def step(carry, x):
+            fes, bas, cs = carry
+            i0, i1 = x
+
+            def one(cam, fe, ba, corr, a, b):
+                (fe, ba, corr), (out, _pkt, _corr, cost) = \
+                    runner_m._fused_frame_step(fcfg, bcfg, cam, null,
+                                               (fe, ba, corr), (a, b))
+                return (fe, ba, corr), (out, cost)
+
+            (fes, bas, cs), ys = jax.vmap(one)(cams, fes, bas, cs, i0, i1)
+            return (fes, bas, cs), ys
+
+        (fe_states, ba_states, corrs), (outs, costs) = jax.lax.scan(
+            step, (fe_states, ba_states, corrs), xs)
+        outs = jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), outs)
+        return fe_states, ba_states, corrs, outs, jnp.swapaxes(costs, 0, 1)
+
+    T = imgs0.shape[1]
+    xs = xs + (jnp.arange(T, dtype=jnp.int32),)
+
     def step(carry, x):
         fes, bas, cs = carry
-        i0, i1 = x
+        i0, i1, t = x
 
-        def one(cam, fe, ba, corr, a, b):
-            (fe, ba, corr), (out, _pkt, _corr, cost) = \
-                runner_m._fused_frame_step(fcfg, bcfg, cam, null,
-                                           (fe, ba, corr), (a, b))
-            return (fe, ba, corr), (out, cost)
+        def track_one(cam, fe, ba, corr, a, b):
+            fe = tracker.apply_correction(fe, corr)
+            fe, out = tracker.track_frame(fcfg, cam, fe, a, b)
+            ba = jax.lax.cond(out.reset_backend,
+                              lambda s: window_ba.reset(bcfg, s),
+                              lambda s: s, ba)
+            pkt = tracker.make_keyframe_packet(fe, out)
+            ba = jax.lax.cond(out.is_keyframe,
+                              lambda s: window_ba.add_keyframe(bcfg, s, pkt),
+                              lambda s: s, ba)
+            return fe, ba, out
 
-        (fes, bas, cs), ys = jax.vmap(one)(cams, fes, bas, cs, i0, i1)
-        return (fes, bas, cs), ys
+        fes, bas, outs = jax.vmap(track_one)(cams, fes, bas, cs, i0, i1)
+
+        def do_ba(b):
+            def one(cam, ba):
+                res = window_ba.optimize(bcfg, cam, ba)
+                return res.state, res.correction, res.cost
+            return jax.vmap(one)(cams, b)
+
+        def no_ba(b):
+            S = imgs0.shape[0]
+            null_b = jax.tree.map(
+                lambda a: jnp.broadcast_to(a, (S,) + a.shape), null)
+            return b, null_b, jnp.zeros(S, jnp.float32)
+
+        # Scan-uniform predicate → a REAL branch: the solve executes only
+        # on every ba_every-th frame of the chunk.
+        bas, cs_new, costs = jax.lax.cond(
+            t % ba_every == ba_every - 1, do_ba, no_ba, bas)
+        return (fes, bas, cs_new), (outs, costs)
 
     (fe_states, ba_states, corrs), (outs, costs) = jax.lax.scan(
         step, (fe_states, ba_states, corrs), xs)

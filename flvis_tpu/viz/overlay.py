@@ -106,6 +106,36 @@ def draw_flow(img, uv_from, uv_to, mask,
     return img
 
 
+def draw_loop_match(img_i, img_j, uv_i, uv_j, match_j, good,
+                    line_color=(0, 255, 0), pt_color=(0, 0, 255)):
+    """Side-by-side loop-closure match image: keyframe i (left) | keyframe j
+    (right) with a line per surviving descriptor match — the reference's
+    matched-points debug publication for every accepted loop
+    (vo_loopclosing.cpp:689-722, cv::drawMatches equivalent).
+
+    uv_i: (F, 2) keypoints of KF i; uv_j: (F, 2) of KF j; match_j: (F,)
+    index into uv_j per KF-i keypoint; good: (F,) bool match mask.
+    Returns an (H, 2W, 3) uint8 RGB image."""
+    left = to_rgb(img_i)
+    right = to_rgb(img_j)
+    h, w = left.shape[:2]
+    canvas = np.concatenate([left, right], axis=1)
+    uv_i = np.asarray(uv_i)
+    uv_j = np.asarray(uv_j)
+    match_j = np.asarray(match_j)
+    good = np.asarray(good, bool)
+    for k in np.flatnonzero(good):
+        p0 = (int(round(float(uv_i[k, 0]))), int(round(float(uv_i[k, 1]))))
+        p1 = (int(round(float(uv_j[match_j[k], 0]))) + w,
+              int(round(float(uv_j[match_j[k], 1]))))
+        if cv2 is not None:
+            cv2.line(canvas, p0, p1, line_color, 1)
+    _dots(canvas, uv_i, good, pt_color, 2)
+    uv_j_m = uv_j[np.clip(match_j, 0, len(uv_j) - 1)] + np.asarray([w, 0])
+    _dots(canvas, uv_j_m, good, pt_color, 2)
+    return canvas
+
+
 def depth_colors(z, zmin: float = 0.5, zmax: float = 10.0) -> np.ndarray:
     """Per-point RGB: near=red -> far=blue, the drawFrame colour ramp
     (cv_draw.h:71-84: b=(z-min)*250/(max-min), r=255-b)."""

@@ -476,6 +476,63 @@ class TestPretrainedVocab:
         lc1.detect_loop(9)                # search path runs on loaded vocab
 
 
+class TestVocabRefresh:
+    def test_refresh_improves_late_scene_recognition(self):
+        """In-run vocabulary refresh (LoopConfig.vocab_refresh_at): the
+        opening-scene-trained vocabulary is retrained on the whole run and
+        all BoW rows back-filled.  On a run whose texture statistics drift
+        after the opening frames, the refreshed vocabulary must score a
+        late-sequence revisit higher than the stale opening-scene one."""
+        from flvis_tpu.loop import bow
+
+        scfg = SceneConfig(width=256, height=192, fx=200.0, fy=200.0,
+                           cx=128.0, cy=96.0, baseline=0.12)
+        scene_a = PlanarScene(scfg, plane_depth=8.0, seed=31)
+        from flvis_tpu.io.synthetic import MultiPlaneScene
+
+        scene_b = MultiPlaneScene(scfg, seed=77)   # drifted texture stats
+        frames = []
+        for k in range(8):                          # opening scene A
+            t = np.asarray([0.05 * k, 0.0, 0.0], np.float32)
+            frames.append(scene_a.render(np.eye(3), t)[:2] + (t,))
+        for k in range(14):                         # later scene B
+            x = 0.05 * (k if k < 10 else 19 - k)    # out and back
+            t = np.asarray([x, 0.0, 0.0], np.float32)
+            frames.append(scene_b.render(np.eye(3), t)[:2] + (t,))
+        # B-frames k=6 (x=0.30) and k=12 (x=0.35) are a NEAR revisit (a
+        # 5 cm offset — identical viewpoints would give score 1.0 under any
+        # vocabulary and measure nothing).
+        qi, qj = 8 + 12, 8 + 6
+
+        margins = {}
+        for refresh_at in (0, 16):
+            cfg = LoopConfig(max_keyframes=32, num_orb_features=128,
+                             vocab_words=64, kf_start=4, kf_dist=2,
+                             kf_max_dist=32, nkf_closest=1, min_score=0.0,
+                             vocab_refresh_at=refresh_at)
+            lc = LoopCloser(cfg, cam=camera.make(
+                scfg.fx, scfg.fy, scfg.cx, scfg.cy, scfg.baseline,
+                width=scfg.width, height=scfg.height))
+            for k, (il, ir, t) in enumerate(frames):
+                lc.add_keyframe(il, ir, se3.SE3(so3.identity(),
+                                                jnp.asarray(t)), frame_id=k)
+            assert lc._vocab_refreshed == (refresh_at > 0)
+            sims = np.asarray(jnp.stack([
+                bow.score(lc.bow_db[qi], lc.bow_db[r])
+                for r in range(8, 22) if r != qi]))
+            rows = [r for r in range(8, 22) if r != qi]
+            s_true = sims[rows.index(qj)]
+            # Recognition margin: true near-revisit vs the best DISTANT
+            # (false) candidate — what the candidate gate has to separate.
+            false_rows = [r for r in rows if abs(r - qj) > 2
+                          and abs(r - qi) > 2]
+            s_false = max(sims[rows.index(r)] for r in false_rows)
+            margins[refresh_at] = float(s_true - s_false)
+        # The refreshed vocabulary separates the drifted-scene revisit from
+        # false candidates better than the stale opening-scene vocabulary.
+        assert margins[16] > margins[0], margins
+
+
 class TestLoopCloserSharded:
     def test_mesh_db_matches_dense_scores(self):
         """LoopCloser with a kf-sharded BoW database produces the same
@@ -559,3 +616,11 @@ class TestLoopCloserDebugIO:
             assert before and after
             a = np.load(after[-1])
             assert a["node_q"].shape[1] == 4 and len(a["loops"]) >= 1
+            # Accepted loops render a side-by-side match image
+            # (vo_loopclosing.cpp:689-722 parity surface).
+            matches = sorted(tmp_path.glob("loop_match_*.png"))
+            assert len(matches) == len(lc.closures)
+            import cv2
+
+            m0 = cv2.imread(str(matches[0]))
+            assert m0 is not None and m0.shape == (192, 512, 3)

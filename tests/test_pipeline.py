@@ -247,6 +247,13 @@ class TestOverlappedPipeline:
         t_pipe = np.asarray([t for (_, _, t) in pipe.trajectory])
         t_ref = np.asarray([t for (_, _, q, t) in ref.trajectory])
         np.testing.assert_allclose(t_pipe, t_ref, atol=1e-6)
+        # De-synced contract: exactly ONE host device-fetch per frame (all
+        # frame-loop transfers funnel through _fetch; the keyframe decision
+        # and BA dispatch never touch the host).
+        assert pipe.fetch_count == len(frames)
+        costs = pipe.ba_costs()      # fetched off the frame loop
+        assert len(costs) == len(ref.ba_costs)
+        assert all(np.isfinite(c) for c in costs)
 
 
 class TestVioChunk:
