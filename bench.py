@@ -235,20 +235,30 @@ def main():
     system_vio_fps = n_sv * CH / (time.perf_counter() - t0)
 
     # --- full system WITH loop closing in the steady path --------------------
-    # Same chunked replay with the loop node ingesting every keyframe (ORB +
-    # BoW + keypoint depth, device-resident store) and the batched candidate
-    # gate fetching ONE (M,4) row per chunk.  No loop events fire on the
-    # orbit scene (kf_dist gate), so this measures the steady-state overhead
-    # the reference pays on its free-running pgoProcess thread — target
-    # within ~10% of system_frames_per_s.
-    slam_l = SlamSystem(scfg_sys, cam, use_loop=True)
+    # Chunked replay over 64 UNIQUE frames with the loop node ingesting every
+    # keyframe: whole-chunk batched ORB-1000 + BoW + plane-sweep keypoint
+    # depth into the device-resident store (ONE fused program), plus the
+    # deferred candidate gate (its (M,4) fetch rides the next chunk's packed
+    # fetch — zero extra round trips).  nkf_closest is set unreachable so the
+    # host decision never fires geometric verification/PGO: replaying the
+    # same 64 frames across reps would otherwise manufacture loop events
+    # every chunk (identical images 64 KFs apart), which no real sequence
+    # does — this line measures the STEADY-STATE ingest+search overhead, the
+    # cost the reference's free-running loop threads pay on spare CPU cores
+    # but a single-chip TPU pays inline.  (Verify+PGO event cost is covered
+    # by pgo2048_banded_ms.)
+    import dataclasses as _dc
+
+    scfg_loop = scfg_sys.replace(
+        loop=_dc.replace(scfg_sys.loop, nkf_closest=10**6))
+    slam_l = SlamSystem(scfg_loop, cam, use_loop=True)
     for _ in range(2):
-        slam_l.process_frames(si0, si1)
+        slam_l.process_frames(vi0, vi1)
     sync(slam_l.fe_state)
     n_l = 3
     t0 = time.perf_counter()
     for _ in range(n_l):
-        slam_l.process_frames(si0, si1)
+        slam_l.process_frames(vi0, vi1)
     sync(slam_l.fe_state)
     system_loop_fps = n_l * CH / (time.perf_counter() - t0)
 

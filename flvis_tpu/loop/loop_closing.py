@@ -30,7 +30,7 @@ from ..config import LoopConfig
 from ..geometry import camera as cam_m, se3 as se3m, so3
 from ..geometry.camera import StereoCamera
 from ..geometry.se3 import SE3
-from ..ops import image as imops, lk as lk_ops, orb, pnp
+from ..ops import image as imops, orb, pnp, stereo
 from . import bow, pose_graph
 
 
@@ -47,21 +47,26 @@ def _db_set_row(db, k, row):
 def _ingest_body(img_l, img_r, cam: StereoCamera, num_features: int,
                  depth_mode: bool):
     """Thread-A ingest for ONE keyframe: ORB detect+compute plus keypoint
-    depth (stereo LK or depth-image lookup) — the reference runs these as
-    successive host calls (vo_loopclosing.cpp:243-351).  Shared by the
-    stepwise `_ingest` program and the whole-chunk `_ingest_rows` scan.
-    Returns (uv, desc, kp_valid, p_c, pc_valid)."""
+    depth — the reference runs these as successive host calls
+    (vo_loopclosing.cpp:243-351).  Shared by the stepwise `_ingest` program
+    and the whole-chunk `_ingest_rows` scan.
+
+    Keypoint depth: a dense half-res plane-sweep disparity map sampled at
+    the keypoints (ops/stereo.py) — the reference LK-tracks its 1000 ORB
+    points left→right (vo_loopclosing.cpp:262-283), but per-point iterative
+    LK at this count costs ~11 ms/keyframe on TPU (patch-gather matmuls per
+    GN iteration) while the keypoint-count-independent sweep costs ~1 ms.
+    In depth mode img_r is an aligned depth image (Z16 / depth_factor) and
+    the lookup replaces the sweep.  Returns (uv, desc, kp_valid, p_c,
+    pc_valid)."""
     uv, desc, kp_valid, _ = orb.detect_and_compute(
         img_l, num_features=num_features)
     if depth_mode:
-        # img_r is an aligned depth image (Z16 / depth_factor), not intensity.
         z = imops.bilinear_sample(img_r, uv) / cam.depth_factor
         d_ok = (z > 0.1) & (z < 100.0)
     else:
-        pyr_l = imops.build_grad_pyramid(img_l, 3)
-        pyr_r = imops.build_grad_pyramid(img_r, 3)
-        guess = jnp.full(uv.shape[0], cam.fx * cam.baseline / 4.0)
-        disp, d_ok = lk_ops.stereo_lk(pyr_l, pyr_r, uv, guess, kp_valid)
+        disp_map, dv = stereo.disparity_sweep(img_l, img_r)
+        disp, d_ok = stereo.keypoint_disparity(disp_map, dv, uv)
         z = cam.fx * cam.baseline / jnp.maximum(disp, 1e-3)
         d_ok = d_ok & (z > 0.1) & (z < 100.0)
     p_c = cam_m.backproject(cam, uv, z)
@@ -131,6 +136,14 @@ def _ingest_rows(uv_s, desc_s, kpv_s, pc_s, pcv_s,
     t_s = t_s.at[tgt].set(T_node.t, mode="drop")
     return (uv_s, desc_s, kpv_s, pc_s, pcv_s,
             q_odom_s, t_odom_s, q_s, t_s, desc, kpv)
+
+
+@jax.jit
+def _gather_frames(imgs, sel):
+    """Keyframe-image gather on the FRONTEND chip — in two-chip mode only
+    the (Mp, H, W) gathered stacks cross to the loop chip, not the whole
+    chunk."""
+    return imgs[sel]
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -360,11 +373,21 @@ class LoopCloser:
     def __init__(self, cfg: LoopConfig, cam: StereoCamera,
                  vocab: Optional[bow.Vocabulary] = None,
                  depth_mode: bool = False, mesh=None,
-                 pgo_device=None, dump_dir: Optional[str] = None):
+                 pgo_device=None, dump_dir: Optional[str] = None,
+                 device=None):
         self.cfg = cfg
         self.cam = cam
         self.vocab = vocab
         self.depth_mode = depth_mode
+        # Optional dedicated chip for the WHOLE loop node (store + ingest +
+        # gate + verify): the reference runs loop closing as its own nodelet
+        # on spare CPU cores, never taxing tracking (vo_loopclosing.cpp:
+        # 1106-1118); with a second chip the batched ingest/gate programs
+        # dispatch there asynchronously and overlap the frontend chip's next
+        # chunk — the single-chip mode instead pays ~2.3 ms/keyframe inline.
+        # Only the gathered keyframe images cross chips (ICI), not the
+        # stores.
+        self.device = device
         # Debug-dump directory: similarity-matrix txt every 10 KFs and the
         # pose graph before/after each PGO run (the reference writes these to
         # hard-coded home paths, vo_loopclosing.cpp:439-452,879,887).
@@ -410,6 +433,13 @@ class LoopCloser:
         self.kf_t_odom = jnp.zeros((K, 3), jnp.float32)
         self.kf_q = jnp.tile(jnp.asarray([1.0, 0, 0, 0], jnp.float32), (K, 1))
         self.kf_t = jnp.zeros((K, 3), jnp.float32)
+        if device is not None:
+            (self.bow_db, self.kf_uv, self.kf_desc, self.kf_kp_valid,
+             self.kf_pc, self.kf_pc_valid, self.kf_q_odom, self.kf_t_odom,
+             self.kf_q, self.kf_t) = jax.device_put(
+                (self.bow_db, self.kf_uv, self.kf_desc, self.kf_kp_valid,
+                 self.kf_pc, self.kf_pc_valid, self.kf_q_odom,
+                 self.kf_t_odom, self.kf_q, self.kf_t), device)
         self.count = 0
         self.closures: list[LoopClosure] = []
         self.T_map_odom: SE3 = se3m.identity()   # drift: corrected ∘ odom⁻¹
@@ -499,48 +529,73 @@ class LoopCloser:
             return []
         while self.count + M > self.bow_db.shape[0]:
             self._grow()
-        # Pad the batch to a multiple of 8: jitted programs are shape-keyed
-        # and chunk keyframe counts jitter frame to frame; 8-buckets bound
-        # both recompiles and the padded ingest waste (≤ 7 dummy frames).
-        Mp = ((M + 7) // 8) * 8
-        sel_p = np.concatenate(
-            [np.asarray(sel, np.int32), np.full(Mp - M, sel[-1], np.int32)])
-        rows = np.arange(self.count, self.count + Mp, dtype=np.int32)
-        row_valid = np.arange(Mp) < M
-        q_p = np.concatenate(
-            [np.asarray(q, np.float32),
-             np.tile(np.asarray([1.0, 0, 0, 0], np.float32), (Mp - M, 1))])
-        t_p = np.concatenate(
-            [np.asarray(t, np.float32), np.zeros((Mp - M, 3), np.float32)])
-        (self.kf_uv, self.kf_desc, self.kf_kp_valid, self.kf_pc,
-         self.kf_pc_valid, self.kf_q_odom, self.kf_t_odom, self.kf_q,
-         self.kf_t, desc, kpv) = _ingest_rows(
-            self.kf_uv, self.kf_desc, self.kf_kp_valid, self.kf_pc,
-            self.kf_pc_valid, self.kf_q_odom, self.kf_t_odom, self.kf_q,
-            self.kf_t, jnp.asarray(imgs_l), jnp.asarray(imgs_r),
-            jnp.asarray(sel_p), jnp.asarray(rows), jnp.asarray(row_valid),
-            jnp.asarray(q_p), jnp.asarray(t_p),
-            self.T_map_odom.q, self.T_map_odom.t, self.cam,
-            num_features=self.cfg.num_orb_features,
-            depth_mode=self.depth_mode)
+        # The batch runs in FIXED blocks of 8 keyframes: the fused ingest
+        # program is expensive to compile (~40 s over the remote-compile
+        # tunnel), and per-chunk keyframe counts jitter — shape-keying the
+        # program on the batch size caused fresh mid-run compiles that
+        # dwarfed the work itself.  One 8-wide shape serves every chunk;
+        # the ≤7 padded ingests per batch cost ~12 ms.
+        B = 8
+        sel = np.asarray(sel, np.int32)
+        q = np.asarray(q, np.float32)
+        t = np.asarray(t, np.float32)
+        imgs_l = jnp.asarray(imgs_l)
+        imgs_r = jnp.asarray(imgs_r)
         old_count = self.count
+        for b0 in range(0, M, B):
+            bM = min(B, M - b0)
+            sel_b = np.concatenate(
+                [sel[b0:b0 + bM], np.full(B - bM, sel[b0 + bM - 1],
+                                          np.int32)])
+            sel_dev = jnp.asarray(sel_b)
+            il, ir = imgs_l, imgs_r
+            if self.device is not None:
+                # Two-chip mode: gather the block's frames on the frontend
+                # chip and ship only the (B, H, W) stacks across; every loop
+                # program below then dispatches on the loop chip,
+                # overlapping the frontend chip's next chunk.
+                il = jax.device_put(_gather_frames(imgs_l, sel_dev),
+                                    self.device)
+                ir = jax.device_put(_gather_frames(imgs_r, sel_dev),
+                                    self.device)
+                sel_dev = jnp.asarray(np.arange(B, dtype=np.int32))
+            rows = np.arange(self.count + b0, self.count + b0 + B,
+                             dtype=np.int32)
+            row_valid = np.arange(B) < bM
+            q_p = np.concatenate(
+                [q[b0:b0 + bM],
+                 np.tile(np.asarray([1.0, 0, 0, 0], np.float32),
+                         (B - bM, 1))])
+            t_p = np.concatenate(
+                [t[b0:b0 + bM], np.zeros((B - bM, 3), np.float32)])
+            (self.kf_uv, self.kf_desc, self.kf_kp_valid, self.kf_pc,
+             self.kf_pc_valid, self.kf_q_odom, self.kf_t_odom, self.kf_q,
+             self.kf_t, desc, kpv) = _ingest_rows(
+                self.kf_uv, self.kf_desc, self.kf_kp_valid, self.kf_pc,
+                self.kf_pc_valid, self.kf_q_odom, self.kf_t_odom, self.kf_q,
+                self.kf_t, il, ir,
+                sel_dev, jnp.asarray(rows), jnp.asarray(row_valid),
+                jnp.asarray(q_p), jnp.asarray(t_p),
+                self.T_map_odom.q, self.T_map_odom.t, self.cam,
+                num_features=self.cfg.num_orb_features,
+                depth_mode=self.depth_mode)
+            if self.vocab is None:
+                # Stacked device handles; _train_vocab fetches at training.
+                self._desc_buffer.append(
+                    (desc, kpv & jnp.asarray(row_valid)[:, None]))
+            else:
+                self._set_db_rows_batch(rows, row_valid,
+                                        sharded_rows=list(
+                                            rows[:bM].tolist()))
         ks = list(range(self.count, self.count + M))
         self.kf_frame_id[old_count:old_count + M] = np.asarray(
             frame_ids, np.int64)
         self.count += M
-        if self.vocab is None:
-            # Stacked device handles; _train_vocab fetches once at training.
-            self._desc_buffer.append((desc, kpv & jnp.asarray(
-                row_valid)[:, None]))
-            if self.count >= 8:
-                self._train_vocab()   # back-fills ALL rows incl. this batch
-        else:
-            self._set_db_rows_batch(rows, row_valid, sharded_rows=ks)
+        if self.vocab is None and self.count >= 8:
+            self._train_vocab()       # back-fills ALL rows incl. this batch
         self._maybe_refresh_vocab()
         if self._kf_imgs is not None:
-            self._kf_imgs.extend(
-                np.asarray(jnp.asarray(imgs_l)[jnp.asarray(
-                    np.asarray(sel, np.int32))]))
+            self._kf_imgs.extend(np.asarray(imgs_l[jnp.asarray(sel)]))
         if self.dump_dir is not None and \
                 old_count // 10 != self.count // 10:
             self.dump_sim_matrix(
@@ -548,7 +603,9 @@ class LoopCloser:
         return ks
 
     def _set_db_rows_batch(self, rows, row_valid, sharded_rows=None):
-        """Batched BoW transform + db scatter for stored descriptor rows."""
+        """Batched BoW transform + db scatter for stored descriptor rows —
+        issued in FIXED blocks of 8 so _bow_rows compiles exactly once
+        regardless of batch/back-fill size."""
         if self._dist is not None:
             # Mesh-sharded database: keep the per-row sharded row-set path.
             for k in (sharded_rows if sharded_rows is not None
@@ -557,11 +614,21 @@ class LoopCloser:
                     k, bow.transform(self.vocab, self.kf_desc[k],
                                      self.kf_kp_valid[k]))
             return
-        self.bow_db = _bow_rows(
-            self.bow_db, self.vocab.words_pm1, self.vocab.idf,
-            self.kf_desc, self.kf_kp_valid,
-            jnp.asarray(np.asarray(rows, np.int32)),
-            jnp.asarray(np.asarray(row_valid, bool)))
+        B = 8
+        rows = np.asarray(rows, np.int32)
+        row_valid = np.asarray(row_valid, bool)
+        for b0 in range(0, len(rows), B):
+            rb, vb = rows[b0:b0 + B], row_valid[b0:b0 + B]
+            if not vb.any():
+                continue
+            if len(rb) < B:
+                rb = np.concatenate([rb, np.full(B - len(rb), rb[-1],
+                                                 np.int32)])
+                vb = np.concatenate([vb, np.zeros(B - len(vb), bool)])
+            self.bow_db = _bow_rows(
+                self.bow_db, self.vocab.words_pm1, self.vocab.idf,
+                self.kf_desc, self.kf_kp_valid,
+                jnp.asarray(rb), jnp.asarray(vb))
 
     # -------------------------------------------------------------- debug IO
     def sim_matrix(self) -> np.ndarray:
@@ -718,14 +785,21 @@ class LoopCloser:
         # 5000-KF lookback before the temporal gate (vo_loopclosing.cpp:
         # 529-534); kf_max_dist (YAML lcKFMaxDist) is only the neighbour-
         # consistency radius passed to the gate (line 568).
-        his = np.asarray([k - cfg.kf_dist for k in ks], np.int32)
+        # Pad the query batch to a multiple of 32: the gate program is
+        # shape-keyed on M, and per-chunk keyframe counts jitter by a few —
+        # unpadded, every new M cost a fresh remote compile mid-run (32
+        # bounds the shape set to {32, 64} at chunk 64).
+        M = len(ks)
+        Mp = ((M + 31) // 32) * 32
+        ks_p = list(ks) + [ks[-1]] * (Mp - M)
+        his = np.asarray([k - cfg.kf_dist for k in ks_p], np.int32)
         los = np.asarray([max(0, h - cfg.search_window) for h in his],
                          np.int32)
         rows_dev = _gate_rows(
-            self.bow_db, valid_rows, jnp.asarray(np.asarray(ks, np.int32)),
+            self.bow_db, valid_rows, jnp.asarray(np.asarray(ks_p, np.int32)),
             jnp.asarray(los), jnp.asarray(his),
             jnp.asarray(cfg.kf_max_dist, jnp.int32))
-        return ("rows", ks, los, his, rows_dev)
+        return ("rows", ks, los[:M], his[:M], rows_dev)
 
     def pending_rows(self, pending):
         """The device array inside a gate_candidates handle (None if the

@@ -234,7 +234,8 @@ class SlamSystem:
 
     def __init__(self, cfg: SystemConfig, cam: StereoCamera,
                  T_i_c: Optional[SE3] = None, use_imu: bool = False,
-                 use_loop: bool = False, output_sparse_map: bool = False):
+                 use_loop: bool = False, output_sparse_map: bool = False,
+                 loop_device=None):
         self.cfg = cfg
         self.cam = cam
         self.use_imu = use_imu
@@ -252,8 +253,15 @@ class SlamSystem:
         if use_loop:
             from ..loop.loop_closing import LoopCloser
 
+            # loop_device: place the WHOLE loop node (store + ingest + gate
+            # + verify + PGO) on a second chip — the reference's loop
+            # nodelet runs on spare CPU cores and never taxes tracking
+            # (vo_loopclosing.cpp:1106-1118); async dispatch to another chip
+            # is the TPU equivalent.
             self.loop_closer = LoopCloser(cfg.loop, cam,
-                                          depth_mode=cfg.frontend.depth_mode)
+                                          depth_mode=cfg.frontend.depth_mode,
+                                          device=loop_device,
+                                          pgo_device=loop_device)
         # The reference's `output_sparse_map` YAML flag: accumulate BA-
         # corrected landmarks into a voxel-downsampled map cloud
         # (vo_localmap.cpp:367-377).

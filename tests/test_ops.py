@@ -268,3 +268,52 @@ class TestEqualize:
                                              jnp.asarray(squash(img_r)))
         assert int(out.status) == tracker.STATUS_TRACKING
         assert int(out.num_inliers) > 20
+
+
+class TestDisparitySweep:
+    """Dense plane-sweep block matching (ops/stereo.py) — the loop node's
+    keypoint-depth source (replaces per-point stereo LK, which costs ~11 ms
+    for 1000 points on TPU vs ~1 ms for the keypoint-count-independent
+    sweep)."""
+
+    def test_constant_disparity_recovered(self, tex):
+        from flvis_tpu.ops import stereo
+
+        true_d = 11.4
+        right = warp_translate(tex, -true_d, 0.0)   # right image: x' = x - d
+        disp, valid = stereo.disparity_sweep(jnp.asarray(tex),
+                                             jnp.asarray(right))
+        d = np.asarray(disp)
+        v = np.asarray(valid)
+        # Interior of the image: validity high, subpixel error small.
+        assert v[10:-10, 14:-10].mean() > 0.8
+        err = np.abs(d[v] - true_d)
+        assert np.median(err) < 0.25, np.median(err)
+
+    def test_keypoint_sampling_and_validity(self, tex):
+        from flvis_tpu.ops import stereo
+
+        true_d = 8.0
+        right = warp_translate(tex, -true_d, 0.0)
+        disp, valid = stereo.disparity_sweep(jnp.asarray(tex),
+                                             jnp.asarray(right))
+        rng = np.random.default_rng(0)
+        uv = jnp.asarray(rng.uniform([30, 30], [290, 210],
+                                     (100, 2)).astype(np.float32))
+        d, ok = stereo.keypoint_disparity(disp, valid, uv)
+        ok = np.asarray(ok)
+        assert ok.mean() > 0.7
+        assert np.median(np.abs(np.asarray(d)[ok] - true_d)) < 0.3
+
+    def test_textureless_region_invalid(self):
+        from flvis_tpu.ops import stereo
+
+        rng = np.random.default_rng(1)
+        img = textured_image(rng, 240, 320).copy()
+        img[60:120, 80:200] = 128.0                 # flat patch
+        right = warp_translate(img, -6.0, 0.0)
+        disp, valid = stereo.disparity_sweep(jnp.asarray(img),
+                                             jnp.asarray(right))
+        v = np.asarray(valid)
+        # Flat interior (away from its borders, half-res coords) invalid.
+        assert v[35:55, 50:90].mean() < 0.2

@@ -132,6 +132,61 @@ class TestChunkReplay:
         assert len(closures) >= 1, "revisit not detected via chunked path"
         assert closures[0].kf_j - closures[0].kf_i >= 8
 
+    def test_loop_node_on_second_device(self):
+        """loop_device: the whole loop node (store + ingest + gate + PGO)
+        lives on a second chip and its programs dispatch there (the
+        reference's loop nodelet runs on spare CPU cores; async dispatch to
+        another chip is the TPU equivalent).  Results must match the
+        single-device loop path exactly."""
+        import jax
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs 2 devices")
+        from flvis_tpu.config import LoopConfig
+
+        scfg = SceneConfig(width=256, height=192, fx=200.0, fy=200.0,
+                           cx=128.0, cy=96.0, baseline=0.12)
+        scene = PlanarScene(scfg, plane_depth=8.0, seed=11)
+        cfg = SystemConfig(
+            frontend=FrontendConfig(width=scfg.width, height=scfg.height,
+                                    num_slots=128, pyramid_levels=3,
+                                    per_cell=8, min_distance=12.0, margin=22,
+                                    kf_min_trans=0.04),
+            backend=BackendConfig(window_size=5, max_landmarks=256,
+                                  iters1=8, iters2=4),
+            loop=LoopConfig(max_keyframes=64, num_orb_features=128,
+                            vocab_words=128, kf_start=10, kf_dist=8,
+                            kf_max_dist=64, nkf_closest=2, min_pts=12,
+                            min_score=0.03, ratio_ransac=0.3,
+                            seq_edge_successors=3),
+        )
+        cam = camera.make(scfg.fx, scfg.fy, scfg.cx, scfg.cy, scfg.baseline,
+                          width=scfg.width, height=scfg.height)
+        n = 16
+        half = n // 2
+        xs = list(np.linspace(0, 0.6, half)) + \
+            list(np.linspace(0.6, 0.02, n - half))
+        frames = [scene.render(np.eye(3), -np.asarray([x, 0.0, 0.0]))
+                  for x in xs]
+        runs = {}
+        for dev in (None, jax.devices()[1]):
+            sys_ = SlamSystem(cfg, cam, use_loop=True, loop_device=dev)
+            for c0 in range(0, n, 8):
+                batch = frames[c0:c0 + 8]
+                sys_.process_frames(np.stack([b[0] for b in batch]),
+                                    np.stack([b[1] for b in batch]))
+            sys_.flush_loop()
+            runs[dev is None] = sys_
+        two, one = runs[False], runs[True]
+        assert list(two.loop_closer.bow_db.devices())[0] == jax.devices()[1]
+        assert list(one.loop_closer.bow_db.devices())[0] == jax.devices()[0]
+        assert two.loop_closer.count == one.loop_closer.count
+        np.testing.assert_allclose(np.asarray(two.loop_closer.kf_pc[:n]),
+                                   np.asarray(one.loop_closer.kf_pc[:n]),
+                                   atol=1e-4)
+        assert [(c.kf_i, c.kf_j) for c in two.loop_closer.closures] == \
+            [(c.kf_i, c.kf_j) for c in one.loop_closer.closures]
+
     def test_fused_chunk_matches_stepwise(self):
         """The fused chunk program (frontend + per-keyframe BA + per-frame
         correction feedback in one lax.scan) has the SAME semantics as the
