@@ -64,11 +64,18 @@ def main():
         print(f"{label:46s} {(time.perf_counter() - t0) / reps * 1000:8.1f} ms",
               flush=True)
 
-    # Full solves at different iteration caps → per-iteration slope.
-    for it in (1, 3, 15):
+    # Full solves at different iteration caps → per-iteration slope AND
+    # convergence (does the solution change past iteration ~5?).
+    for it in (1, 3, 5, 8, 15):
         f = lambda it=it: pg.optimize_banded(g, fixed, band_edges=succ * K,
                                              iters=it)[0].node_t
         timed(f"optimize_banded iters={it}", f, reps=3)
+        g2, c = pg.optimize_banded(g, fixed, band_edges=succ * K, iters=it)
+        err = np.linalg.norm(np.asarray(g2.node_t[:2000]) - pos[:2000],
+                             axis=-1)
+        print(f"   iters={it:3d} cost={float(c):10.4f} "
+              f"mean_err={err.mean():.4f} max_err={err.max():.4f}",
+              flush=True)
 
     # Edge Jacobians alone.
     Tij = se3.SE3(g.edge_q, g.edge_t)
