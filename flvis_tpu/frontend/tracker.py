@@ -601,21 +601,29 @@ def make_keyframe_packet(state: TrackerState, out: FrameOutput):
     )
 
 
+def apply_correction_(state: TrackerState, corr):
+    """Traced-context variant of apply_correction (no jit wrapper): the
+    fused chunk programs call THIS so the cond inlines into their scan body
+    — a nested jit inside a scan is kept as a separate XLA call and blocks
+    cross-op fusion.  The whole body runs under lax.cond on corr.valid:
+    inside the fused chunk scan this is a REAL branch, so the ~45% of
+    frames that carry no pending correction skip the two
+    (slots × capacity) id-matching masks entirely (~0.2 ms/frame on TPU).
+    Under vmap (multi-sequence DP) the cond lowers to select."""
+    return jax.lax.cond(corr.valid,
+                        lambda st: _apply_correction_body(st, corr),
+                        lambda st: st, state)
+
+
 @jax.jit
 def apply_correction(state: TrackerState, corr):
     """Apply a (late) backend Correction: rebase the current pose chain onto
     the corrected keyframe pose, overwrite landmark positions, kill outliers
     — F2FTracking's STEP1 (f2f_tracking.cpp:189-219) plus
     forceCorrectLM3DW / forceMarkOutlier (camera_frame.cpp:332-376).
-
-    The whole body runs under lax.cond on corr.valid: inside the fused chunk
-    scan this is a REAL branch, so the ~45% of frames that carry no pending
-    correction skip the two (slots × capacity) id-matching masks entirely
-    (they cost ~0.2 ms/frame on TPU).  Under vmap (multi-sequence DP) the
-    cond lowers to select — identical cost to the ungated version."""
-    return jax.lax.cond(corr.valid,
-                        lambda st: _apply_correction_body(st, corr),
-                        lambda st: st, state)
+    One compiled program for the eager per-frame path; fused chunk
+    programs use apply_correction_."""
+    return apply_correction_(state, corr)
 
 
 def _apply_correction_body(state: TrackerState, corr):
@@ -658,15 +666,11 @@ def _apply_correction_body(state: TrackerState, corr):
     )
 
 
-@jax.jit
-def rebase_pose(state: TrackerState, frame_id, T_new: SE3, do):
-    """Pose-only variant of apply_correction: rebase the pose chain (and the
-    ring entries at/after `frame_id`) onto T_new, leaving the landmark table
-    untouched — the viVisionRPCompensation write-back
-    (f2f_tracking.cpp:251-254), which replaces the frame pose but corrects
-    no landmarks.  Skips apply_correction's two (slots × capacity)
-    id-matching masks (~0.2 ms/frame on TPU for a correction that carries
-    no landmark rows)."""
+def rebase_pose_(state: TrackerState, frame_id, T_new: SE3, do):
+    """Traced-context variant of rebase_pose (no jit wrapper — see
+    apply_correction_): pose-only rebase of the chain and the ring entries
+    at/after `frame_id` onto T_new, leaving the landmark table untouched —
+    the viVisionRPCompensation write-back (f2f_tracking.cpp:251-254)."""
     hit = state.ring_fid == frame_id
     found = jnp.any(hit) & do
     idx = jnp.argmax(hit)
@@ -687,6 +691,13 @@ def rebase_pose(state: TrackerState, frame_id, T_new: SE3, do):
         ring_q=jnp.where(newer[:, None], ring_T.q, state.ring_q),
         ring_t=jnp.where(newer[:, None], ring_T.t, state.ring_t),
     )
+
+
+@jax.jit
+def rebase_pose(state: TrackerState, frame_id, T_new: SE3, do):
+    """One compiled program for the eager per-frame path (advisor round 2);
+    fused chunk programs use rebase_pose_."""
+    return rebase_pose_(state, frame_id, T_new, do)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "with_packets"))

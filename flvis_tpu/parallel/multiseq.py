@@ -208,7 +208,7 @@ def system_chunk_batch(fcfg: FrontendConfig, bcfg: BackendConfig, cams,
         i0, i1, t = x
 
         def track_one(cam, fe, ba, corr, a, b):
-            fe = tracker.apply_correction(fe, corr)
+            fe = tracker.apply_correction_(fe, corr)
             fe, out = tracker.track_frame(fcfg, cam, fe, a, b)
             ba = jax.lax.cond(out.reset_backend,
                               lambda s: window_ba.reset(bcfg, s),

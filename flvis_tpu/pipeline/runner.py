@@ -108,7 +108,7 @@ def _fused_frame_step(fcfg, bcfg, cam, null, carry, xs):
     multi-sequence DP variant (parallel.multiseq.system_chunk_batch)."""
     fe, ba, corr = carry
     i0, i1 = xs
-    fe = tracker.apply_correction(fe, corr)              # no-op when !valid
+    fe = tracker.apply_correction_(fe, corr)             # no-op when !valid
     fe, out = tracker.track_frame(fcfg, cam, fe, i0, i1)
     # KFMSG_CMD_RESET_LM reset + keyframe BA (vo_localmap.cpp:89-98).
     ba, pkt, corr_new, cost = _ba_tail(fcfg, bcfg, cam, null, fe, ba, out)
@@ -177,7 +177,7 @@ def _fused_vio_frame_step(fcfg, bcfg, vcfg, cam, T_i_c, null, carry, xs):
     i0, i1, t_img, a, g, it, iv = xs
     vio = vimotion.imu_feed_batch(vcfg, vio, a, g, it, iv)
     ff = vimotion.get_frame_state(vio, t_img, T_i_c)
-    fe = tracker.apply_correction(fe, corr)              # backend feedback
+    fe = tracker.apply_correction_(fe, corr)             # backend feedback
     cv = se3m.compose(se3m.exp(fe.velocity), fe.T_prev)
     prior = jax.tree.map(lambda x, y: jnp.where(ff.ok, x, y),
                          ff.T_c_w, cv)
@@ -189,7 +189,7 @@ def _fused_vio_frame_step(fcfg, bcfg, vcfg, cam, T_i_c, null, carry, xs):
     do_blend = ff.ok & (out.status == tracker.STATUS_TRACKING)
     T_out = jax.tree.map(lambda x, y: jnp.where(do_blend, x, y),
                          T_blend, out.T_c_w)
-    fe = tracker.rebase_pose(fe, fe.frame_id - 1, T_out, do_blend)
+    fe = tracker.rebase_pose_(fe, fe.frame_id - 1, T_out, do_blend)
     out = out._replace(T_c_w=T_out)
 
     ba, pkt, corr_new, cost = _ba_tail(fcfg, bcfg, cam, null, fe, ba, out)
