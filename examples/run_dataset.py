@@ -41,6 +41,11 @@ def main():
     ap.add_argument("--frames", type=int, default=None)
     ap.add_argument("--imu", action="store_true", help="enable IMU fusion (EuRoC)")
     ap.add_argument("--loop", action="store_true", help="enable loop closing + PGO")
+    ap.add_argument("--loop-device", type=int, default=None,
+                    help="device index for the loop node (two-chip mode: "
+                         "ingest/gate/verify/PGO dispatch there and overlap "
+                         "the frontend chip, like the reference's loop "
+                         "nodelet on spare CPU cores)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--chunk", type=int, default=0,
                     help="replay fast path: process N frames per lax.scan "
@@ -117,7 +122,10 @@ def main():
         cfg = SystemConfig(frontend=fe, backend=BackendConfig())
     if args.imu and args.dataset == "kitti":
         raise SystemExit("--imu: KITTI odometry sequences carry no IMU data")
-    slam = SlamSystem(cfg, cam, T_i_c=T_i_c, use_imu=args.imu, use_loop=args.loop)
+    loop_dev = (jax.devices()[args.loop_device]
+                if args.loop_device is not None else None)
+    slam = SlamSystem(cfg, cam, T_i_c=T_i_c, use_imu=args.imu,
+                      use_loop=args.loop, loop_device=loop_dev)
 
     n = min(args.frames or len(ds), len(ds))
     t0 = time.perf_counter()
