@@ -88,6 +88,20 @@ def _ingest_rows(uv_s, desc_s, kpv_s, pc_s, pcv_s,
                  imgs_l, imgs_r, sel, rows, row_valid,
                  Tcw_q, Tcw_t, Tmo_q, Tmo_t, cam: StereoCamera,
                  num_features: int, depth_mode: bool):
+    """Vocabulary-less variant of the block ingest program (see
+    _ingest_rows_body; the steady path uses the BoW-fused
+    _ingest_rows_bow)."""
+    return _ingest_rows_body(
+        uv_s, desc_s, kpv_s, pc_s, pcv_s, q_odom_s, t_odom_s, q_s, t_s,
+        imgs_l, imgs_r, sel, rows, row_valid, Tcw_q, Tcw_t, Tmo_q, Tmo_t,
+        cam, num_features, depth_mode)
+
+
+def _ingest_rows_body(uv_s, desc_s, kpv_s, pc_s, pcv_s,
+                      q_odom_s, t_odom_s, q_s, t_s,
+                      imgs_l, imgs_r, sel, rows, row_valid,
+                      Tcw_q, Tcw_t, Tmo_q, Tmo_t, cam: StereoCamera,
+                      num_features: int, depth_mode: bool):
     """Whole-chunk keyframe ingest as ONE device program: gather the chunk's
     keyframe images from the (T, H, W) stacks, run the per-keyframe ORB +
     depth ingest under a lax.scan (bounds the pyramid/descriptor working
@@ -135,6 +149,37 @@ def _ingest_rows(uv_s, desc_s, kpv_s, pc_s, pcv_s,
     q_s = q_s.at[tgt].set(T_node.q, mode="drop")
     t_s = t_s.at[tgt].set(T_node.t, mode="drop")
     return (uv_s, desc_s, kpv_s, pc_s, pcv_s,
+            q_odom_s, t_odom_s, q_s, t_s, desc, kpv)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_features", "depth_mode"),
+    donate_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8, 9))
+def _ingest_rows_bow(db, uv_s, desc_s, kpv_s, pc_s, pcv_s,
+                     q_odom_s, t_odom_s, q_s, t_s,
+                     words_pm1, idf,
+                     imgs_l, imgs_r, sel, rows, row_valid,
+                     Tcw_q, Tcw_t, Tmo_q, Tmo_t, cam: StereoCamera,
+                     num_features: int, depth_mode: bool):
+    """_ingest_rows with the BoW transform + database scatter FUSED in (the
+    vocabulary-present steady path): under the remote tunnel each separate
+    program dispatch costs ~10-20 ms of fixed overhead, so one fused
+    program per 8-keyframe block instead of ingest+BoW halves the loop
+    node's per-chunk program count."""
+    (uv_s, desc_s, kpv_s, pc_s, pcv_s, q_odom_s, t_odom_s, q_s, t_s,
+     desc, kpv) = _ingest_rows_body(
+        uv_s, desc_s, kpv_s, pc_s, pcv_s, q_odom_s, t_odom_s, q_s, t_s,
+        imgs_l, imgs_r, sel, rows, row_valid, Tcw_q, Tcw_t, Tmo_q, Tmo_t,
+        cam, num_features, depth_mode)
+    vocab = bow.Vocabulary(words_pm1, idf)
+
+    def one(_, i):
+        return None, bow.transform(vocab, desc[i], kpv[i])
+
+    _, bows = jax.lax.scan(one, None, jnp.arange(desc.shape[0]))
+    tgt = jnp.where(row_valid, rows, db.shape[0])
+    db = db.at[tgt].set(bows, mode="drop")
+    return (db, uv_s, desc_s, kpv_s, pc_s, pcv_s,
             q_odom_s, t_odom_s, q_s, t_s, desc, kpv)
 
 
@@ -568,6 +613,24 @@ class LoopCloser:
                          (B - bM, 1))])
             t_p = np.concatenate(
                 [t[b0:b0 + bM], np.zeros((B - bM, 3), np.float32)])
+            if self.vocab is not None and self._dist is None:
+                # Steady path: ingest + BoW transform + db scatter as ONE
+                # program per block (each extra dispatch costs ~10-20 ms of
+                # fixed overhead under the remote tunnel).
+                (self.bow_db, self.kf_uv, self.kf_desc, self.kf_kp_valid,
+                 self.kf_pc, self.kf_pc_valid, self.kf_q_odom,
+                 self.kf_t_odom, self.kf_q, self.kf_t, desc,
+                 kpv) = _ingest_rows_bow(
+                    self.bow_db, self.kf_uv, self.kf_desc,
+                    self.kf_kp_valid, self.kf_pc, self.kf_pc_valid,
+                    self.kf_q_odom, self.kf_t_odom, self.kf_q, self.kf_t,
+                    self.vocab.words_pm1, self.vocab.idf, il, ir,
+                    sel_dev, jnp.asarray(rows), jnp.asarray(row_valid),
+                    jnp.asarray(q_p), jnp.asarray(t_p),
+                    self.T_map_odom.q, self.T_map_odom.t, self.cam,
+                    num_features=self.cfg.num_orb_features,
+                    depth_mode=self.depth_mode)
+                continue
             (self.kf_uv, self.kf_desc, self.kf_kp_valid, self.kf_pc,
              self.kf_pc_valid, self.kf_q_odom, self.kf_t_odom, self.kf_q,
              self.kf_t, desc, kpv) = _ingest_rows(
