@@ -574,20 +574,29 @@ class LoopCloser:
             return []
         while self.count + M > self.bow_db.shape[0]:
             self._grow()
-        # The batch runs in FIXED blocks of 8 keyframes: the fused ingest
+        # The batch runs at FIXED program shapes {32, 8}: the fused ingest
         # program is expensive to compile (~40 s over the remote-compile
         # tunnel), and per-chunk keyframe counts jitter — shape-keying the
         # program on the batch size caused fresh mid-run compiles that
-        # dwarfed the work itself.  One 8-wide shape serves every chunk;
-        # the ≤7 padded ingests per batch cost ~12 ms.
-        B = 8
+        # dwarfed the work itself.  Each program dispatch also carries
+        # ~10-20 ms of fixed overhead, so a typical ~23-keyframe chunk runs
+        # as ONE 32-wide program (≤15 ms of padded ingests) instead of
+        # three 8-wide ones; small remainders use the 8-wide shape.
         sel = np.asarray(sel, np.int32)
         q = np.asarray(q, np.float32)
         t = np.asarray(t, np.float32)
         imgs_l = jnp.asarray(imgs_l)
         imgs_r = jnp.asarray(imgs_r)
         old_count = self.count
-        for b0 in range(0, M, B):
+        blocks = []
+        off = 0
+        while M - off > 16:
+            blocks.append((off, 32))
+            off += min(32, M - off)
+        while off < M:
+            blocks.append((off, 8))
+            off += min(8, M - off)
+        for b0, B in blocks:
             bM = min(B, M - b0)
             sel_b = np.concatenate(
                 [sel[b0:b0 + bM], np.full(B - bM, sel[b0 + bM - 1],
