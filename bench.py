@@ -266,6 +266,70 @@ def main():
     sync(slam_l.fe_state)
     system_loop_fps = n_l * CH / (time.perf_counter() - t0)
 
+    # --- the TRUE headline configuration: IMU + loop closing together -------
+    # The reference's default launch loads ALL THREE nodelets — tracking,
+    # local-map BA, loop closing — into one manager, with IMU on EuRoC
+    # (/root/reference/flvis.xml:1-23, launch/flvis_euroc_mav.launch:29).
+    # This is that composition on one chip: the fused VIO chunk program plus
+    # the loop node's batched ingest + deferred gate, measured steady-state
+    # (unique frames, neighbour gate unreachable — same protocol as the
+    # loop-only section above; event cost is measured separately below).
+    slam_vl = SlamSystem(scfg_loop, cam, use_imu=True, use_loop=True)
+
+    def run_vio_loop(rep):
+        off = rep * (CH / 20.0 + 1.0)
+        slam_vl.process_frames_vio(
+            vi0, vi1, frame_t + off,
+            accs, gyros, [t + off for t in imuts])
+
+    for r in range(4):
+        run_vio_loop(r)
+    sync(slam_vl.fe_state)
+    n_vl = 3
+    t0 = time.perf_counter()
+    for r in range(n_vl):
+        run_vio_loop(4 + r)
+    sync(slam_vl.fe_state)
+    system_vio_loop_fps = n_vl * CH / (time.perf_counter() - t0)
+
+    # --- loop-EVENT-inclusive throughput: genuine revisit, real gate --------
+    # A 4-chunk (256-frame) out-and-back sequence whose tail revisits the
+    # head viewpoints: the candidate gate runs with its REAL neighbour-
+    # consistency settings, so the run pays actual geometric verification +
+    # PGO + post-window rebase at the revisit — the amortized cost of a loop
+    # EVENT in the frame path (the pgo2048 line below is a standalone
+    # microbench; this line is the in-situ number).  Protocol: run the whole
+    # sequence once on a throwaway system to compile every program
+    # (ingest/gate/verify/PGO at the event's padded window shape), then time
+    # a FRESH system over the identical sequence — same events, no compiles.
+    EV_CH, EV_NCH = 64, 4
+    ev_n = EV_CH * EV_NCH
+    ev_half = ev_n // 2
+    ev_xs = np.concatenate([np.linspace(0.0, 0.02 * ev_half, ev_half),
+                            np.linspace(0.02 * ev_half, 0.01, ev_n - ev_half)])
+    ev_frames = [scene.render(np.eye(3), -np.asarray([x, 0.0, 0.0]))
+                 for x in ev_xs]
+    ev_i0 = [jnp.stack([jnp.asarray(ev_frames[c0 + i][0])
+                        for i in range(EV_CH)])
+             for c0 in range(0, ev_n, EV_CH)]
+    ev_i1 = [jnp.stack([jnp.asarray(ev_frames[c0 + i][1])
+                        for i in range(EV_CH)])
+             for c0 in range(0, ev_n, EV_CH)]
+
+    def run_event_seq():
+        s = SlamSystem(scfg_sys, cam, use_loop=True)
+        for c0 in range(EV_NCH):
+            s.process_frames(ev_i0[c0], ev_i1[c0])
+        s.flush_loop()
+        sync(s.fe_state)
+        return s
+
+    run_event_seq()                       # compile pass (incl. event shapes)
+    t0 = time.perf_counter()
+    s_ev = run_event_seq()
+    system_loop_event_fps = ev_n / (time.perf_counter() - t0)
+    n_event_closures = len(s_ev.loop_closer.closures)
+
     # --- full-SYSTEM multi-sequence DP (8 sequences, one chip) ---------------
     # The complete pipeline (tracking + window BA + feedback) batched over a
     # leading seq axis — the per-chip building block of the "all EuRoC runs
@@ -426,6 +490,9 @@ def main():
         "system_frames_per_s": round(system_fps, 2),
         "system_vio_frames_per_s": round(system_vio_fps, 2),
         "system_loop_frames_per_s": round(system_loop_fps, 2),
+        "system_vio_loop_frames_per_s": round(system_vio_loop_fps, 2),
+        "system_loop_event_frames_per_s": round(system_loop_event_fps, 2),
+        "loop_event_closures": n_event_closures,
         "multiseq_system8_frames_per_s": round(multiseq_system_fps, 1),
         "multiseq_ba_every": BA_EVERY,
         "multiseq_system8_vio_frames_per_s": round(multiseq_vio_fps, 1),

@@ -141,10 +141,16 @@ def _lm_outer_loop(lm_step, total_cost, nodes0: SE3, lam0: float, iters: int):
     so an accept-only criterion never fires and the loop burns the full
     iteration cap re-solving a finished problem (measured: the 2048-node
     bench graph converges by iteration ~4 but ran all 15 at ~22 ms each).
-    This is the "chi² stopped moving" behaviour of g2o's optimize(N)."""
+    This is the "chi² stopped moving" behaviour of g2o's optimize(N).
+
+    The rejection exit only fires after at least one ACCEPTED step (or once
+    lam has reached its 1e4 cap): a cold start whose lam0 is too small for a
+    hard graph can overshoot and reject its first steps — without the gate
+    that returned the INITIAL drifted poses as "converged" after 2
+    iterations instead of escalating lambda."""
 
     def body(carry):
-        it, nodes, lam, cost, rej, _ = carry
+        it, nodes, lam, cost, rej, acc_any, _ = carry
         new_nodes = lm_step(nodes, lam)
         new_cost = total_cost(new_nodes)
         better = new_cost < cost
@@ -153,19 +159,21 @@ def _lm_outer_loop(lm_step, total_cost, nodes0: SE3, lam0: float, iters: int):
         lam = jnp.where(better, jnp.maximum(lam * 0.3, 1e-8),
                         jnp.minimum(lam * 6.0, 1e4))
         rej = jnp.where(better, 0, rej + 1)
-        done = (better & (cost - new_cost < 1e-6 * cost)) | (rej >= 2)
+        acc_any = acc_any | better
+        done = (better & (cost - new_cost < 1e-6 * cost)) | (
+            (rej >= 2) & (acc_any | (lam >= 1e4)))
         cost = jnp.where(better, new_cost, cost)
-        return it + 1, nodes, lam, cost, rej, done
+        return it + 1, nodes, lam, cost, rej, acc_any, done
 
     def cond(carry):
-        it, _, _, _, _, done = carry
+        it, _, _, _, _, _, done = carry
         return (it < iters) & ~done
 
-    _, nodes, _, cost, _, _ = jax.lax.while_loop(
+    _, nodes, _, cost, _, _, _ = jax.lax.while_loop(
         cond, body,
         (jnp.asarray(0, jnp.int32), nodes0, jnp.asarray(lam0),
          total_cost(nodes0), jnp.asarray(0, jnp.int32),
-         jnp.asarray(False)))
+         jnp.asarray(False), jnp.asarray(False)))
     return nodes, cost
 
 

@@ -87,8 +87,11 @@ def disparity_sweep(img_l, img_r, d_max: int = 64, radius: int = 4):
     # Validity: enough texture (window intensity spread), an unambiguous
     # minimum (margin vs the best far-away candidate), and not clamped at
     # the sweep edges.
+    # box_filter returns the local MEAN (its kernel is /(2r+1) per axis), so
+    # |L - mean| is the pointwise absolute deviation; box-summing it gives
+    # area x (mean absolute deviation), gated against 4 intensity units.
     area = float((2 * radius + 1) ** 2)
-    texture = _box2d(jnp.abs(L - imops.box_filter(L, radius) / area), radius)
+    texture = _box2d(jnp.abs(L - imops.box_filter(L, radius)), radius)
     c_second = jnp.min(jnp.where(jnp.abs(db) > 2, cost, jnp.inf), axis=0)
     valid = ((texture > 4.0 * area)
              & (c_second > 1.05 * c_best + 1e-3)
