@@ -402,7 +402,8 @@ def main():
         off = rep * (T_sys / 20.0 + 1.0)
         (fe_v, ba_v, vio_v, corr_v, _, _) = multiseq.system_chunk_batch_vio(
             cfg, bcfg, vcfg_ms, cams_s, T_i_cs, fe_v, ba_v, vio_v, corr_v,
-            ms_i0, ms_i1, ms_ts + off, ms_a, ms_g, ms_it + off, ms_iv)
+            ms_i0, ms_i1, ms_ts + off, ms_a, ms_g, ms_it + off, ms_iv,
+            ba_every=BA_EVERY)
 
     for r in range(2):
         run_vio_ms(r)

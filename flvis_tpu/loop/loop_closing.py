@@ -488,15 +488,24 @@ class LoopCloser:
         self.count = 0
         self.closures: list[LoopClosure] = []
         self.T_map_odom: SE3 = se3m.identity()   # drift: corrected ∘ odom⁻¹
+        # PGO throttle (vo_loopclosing.cpp:160,487-495): during a sustained
+        # revisit every keyframe closes a loop; loop EDGES accumulate but
+        # the graph is re-optimized only once the newest loop's keyframe is
+        # more than 2% of the keyframe count past the last PGO run.
+        self._last_pgo_id = -5000
         self._desc_buffer: list = []  # (desc, valid) device pairs until vocab trains
         # Debug mode keeps host copies of keyframe left images so accepted
         # loops can render a side-by-side match image (vo_loopclosing.cpp:
         # 689-722); steady-state runs keep nothing image-sized on the host.
         self._kf_imgs: list | None = [] if dump_dir is not None else None
         # In-run vocabulary bookkeeping (refresh applies only to
-        # vocabularies trained here, never to a pretrained one).
+        # vocabularies trained here, never to a pretrained one).  Refreshes
+        # repeat on a DOUBLING schedule (vocab_refresh_at, 2x, 4x, ...): a
+        # one-shot refresh at KF 64 leaves a KITTI-length run scoring its
+        # tail against an opening-scene word set — the same bias the refresh
+        # exists to fix; doubling bounds the retrain count at O(log n).
         self._in_run_vocab = False
-        self._vocab_refreshed = False
+        self._next_vocab_refresh = cfg.vocab_refresh_at
 
     # SE3-row accessors over the batched pose tables (API compatibility).
     @property
@@ -795,24 +804,25 @@ class LoopCloser:
                                 sharded_rows=list(range(n)))
 
     def _maybe_refresh_vocab(self):
-        """Retrain the IN-RUN vocabulary once the run has out-grown its
-        first-8-keyframes training set (LoopConfig.vocab_refresh_at), then
+        """Retrain the IN-RUN vocabulary each time the run DOUBLES past its
+        last training point (LoopConfig.vocab_refresh_at, 2x, 4x, ...), then
         back-fill every BoW row in one batched program.  A vocabulary whose
         words all come from the opening scene scores late-sequence revisits
         against a near-degenerate word set; the reference sidesteps this
         with an offline-trained DBoW3 file (vo_loopclosing.cpp:1095-1102),
-        which the in-run path replaces."""
+        which the in-run path replaces.  The doubling schedule bounds the
+        retrain count at O(log n) over a run while keeping the training set
+        never more than 2x staler than the database."""
         cfg = self.cfg
-        if (not self._in_run_vocab or self._vocab_refreshed
-                or cfg.vocab_refresh_at <= 0
-                or self.count < cfg.vocab_refresh_at):
+        if (not self._in_run_vocab or cfg.vocab_refresh_at <= 0
+                or self.count < self._next_vocab_refresh):
             return
         n = self.count
-        desc = np.asarray(self.kf_desc[:n])          # one fetch, once per run
+        desc = np.asarray(self.kf_desc[:n])        # one fetch per refresh
         kpv = np.asarray(self.kf_kp_valid[:n])
         all_desc = desc[kpv]
         if len(all_desc) > 8192:                     # bound the k-means cost
-            sel = np.random.default_rng(1).choice(len(all_desc), 8192,
+            sel = np.random.default_rng(n).choice(len(all_desc), 8192,
                                                   replace=False)
             all_desc = all_desc[sel]
         self.vocab = bow.train(
@@ -822,7 +832,7 @@ class LoopCloser:
         self._set_db_rows_batch(np.arange(n_pad, dtype=np.int32),
                                 np.arange(n_pad) < n,
                                 sharded_rows=list(range(n)))
-        self._vocab_refreshed = True
+        self._next_vocab_refresh = max(self._next_vocab_refresh * 2, n + 1)
 
     # --------------------------------------------------------------- search
     def detect_loop(self, k: int) -> Optional[LoopClosure]:
@@ -891,12 +901,23 @@ class LoopCloser:
                     for lc in (self._detect_sharded(k),) if lc is not None]
         _, ks, los, his, rows_dev = pending
         rows = np.asarray(rows_dev) if rows_np is None else rows_np
-        out = []
+        cands = []
         for (k, lo, hi, row) in zip(ks, los, his, rows):
             cand = _gate_decision(row, lo, hi, self.cfg)
-            if cand is None:
-                continue
-            lc = self._verify(cand, k)
+            if cand is not None:
+                cands.append((cand, k))
+        if not cands:
+            return []
+        # Dispatch every candidate's verification program asynchronously,
+        # then resolve ALL results in ONE bundled device_get: during a
+        # sustained revisit every keyframe passes the gate, and a per-
+        # candidate fetch paid one ~27 ms tunnel round trip each (31
+        # candidates = ~0.8 s of pure RTT in the event bench).
+        stats_dev = [self._verify_dispatch(i, j) for (i, j) in cands]
+        stats = jax.device_get(stats_dev)
+        out = []
+        for (i, j), vals in zip(cands, stats):
+            lc = self._verify_accept(i, j, vals)
             if lc is not None:
                 out.append(lc)
         return out
@@ -932,19 +953,30 @@ class LoopCloser:
     def _verify(self, i: int, j: int) -> Optional[LoopClosure]:
         """Geometric check (isLoopClosureKF, 591-729): mutual ratio matching
         + PnP RANSAC + translation/rotation accept gates."""
+        return self._verify_accept(
+            i, j, jax.device_get(self._verify_dispatch(i, j)))
+
+    def _verify_dispatch(self, i: int, j: int):
+        """Dispatch the one-program geometric verification for candidate
+        pair (i, j) WITHOUT fetching: 3D from old KF i (world frame via its
+        corrected node pose), 2D from j — matching, PnP RANSAC, and gate
+        statistics all run on device over the resident store; only six
+        scalars/vectors ever cross to the host.  decide_loops bundles many
+        candidates' fetches into one device_get."""
         cfg = self.cfg
-        # 3D from old KF i (world frame via its corrected node pose), 2D
-        # from j — matching, PnP RANSAC, and gate statistics all run as one
-        # device program over the resident store; only six scalars/vectors
-        # come back to the host for the accept decision.
-        q_ij, t_ij, n_match, n_inl, dt, dr = jax.device_get(_verify_device(
+        return _verify_device(
             self.kf_desc, self.kf_kp_valid, self.kf_pc_valid, self.kf_pc,
             self.kf_uv, self.kf_q, self.kf_t,
             jnp.asarray(i, jnp.int32), jnp.asarray(j, jnp.int32),
             self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
             jax.random.PRNGKey(i * 7919 + j),
             cfg.ratio_max, 3.0 / float(self.cam.fx), num_hypotheses=128,
-        ))
+        )
+
+    def _verify_accept(self, i: int, j: int, stats) -> Optional[LoopClosure]:
+        """Host-side accept gates over fetched verification statistics."""
+        cfg = self.cfg
+        q_ij, t_ij, n_match, n_inl, dt, dr = stats
         n_match, n_inl = int(n_match), int(n_inl)
         if n_match < cfg.min_pts:
             return None
@@ -996,6 +1028,12 @@ class LoopCloser:
         # the graph, the first is held fixed.
         i0 = min(lc.kf_i for lc in self.closures)
         j1 = max(lc.kf_j for lc in self.closures)
+        # PGO throttle (vo_loopclosing.cpp:487-495): a sustained revisit
+        # accepts a loop at every keyframe; edges keep accumulating, but the
+        # solve reruns only once the newest loop is > 2% of the keyframe
+        # count past the last run ("Last loop is too close" otherwise).
+        if j1 - self._last_pgo_id <= int(n / 100) * 2:
+            return
         wn = j1 - i0 + 1
         # Pad node/edge counts to power-of-2 buckets: the solvers are jitted
         # per shape, and each XLA compile is expensive (remote-compile
@@ -1050,6 +1088,7 @@ class LoopCloser:
             g2_q, g2_t, jnp.asarray(i0, jnp.int32), jnp.asarray(wn, jnp.int32),
             jnp.asarray(n, jnp.int32))
         self.T_map_odom = SE3(tmo_q, tmo_t)
+        self._last_pgo_id = j1
         if self.dump_dir is not None:
             self._dump_graph(f"{self.count:05d}_after")
 

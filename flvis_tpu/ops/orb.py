@@ -81,6 +81,14 @@ def orientations_from_patches(patches, radius: int = 15):
     return jnp.arctan2(m01, m10)
 
 
+def _half_res(img):
+    """2x2 mean decimation (same as the stereo sweep's)."""
+    h2, w2 = img.shape[0] // 2, img.shape[1] // 2
+    a = img[: 2 * h2, : 2 * w2]
+    return 0.25 * (a[0::2, 0::2] + a[1::2, 0::2]
+                   + a[0::2, 1::2] + a[1::2, 1::2])
+
+
 def orientations(img, pts, radius: int = 15):
     """Intensity-centroid angle θ = atan2(m01, m10) per keypoint (IC_Angle).
 

@@ -245,36 +245,87 @@ def system_chunk_batch(fcfg: FrontendConfig, bcfg: BackendConfig, cams,
     return fe_states, ba_states, corrs, outs, jnp.swapaxes(costs, 0, 1)
 
 
-@functools.partial(jax.jit, static_argnames=("fcfg", "bcfg", "vcfg"))
+@functools.partial(jax.jit,
+                   static_argnames=("fcfg", "bcfg", "vcfg", "ba_every"))
 def system_chunk_batch_vio(fcfg: FrontendConfig, bcfg: BackendConfig,
                            vcfg: VioConfig, cams, T_i_cs, fe_states,
                            ba_states, vio_states, corrs, imgs0, imgs1, ts,
-                           acc, gyro, imu_t, imu_valid):
+                           acc, gyro, imu_t, imu_valid, ba_every: int = 1):
     """system_chunk_batch with the full per-frame VIO loop (IMU propagation,
     feedforward prior, RP blend, bias feedback) vmapped over sequences —
     runner._fused_vio_frame_step under scan-of-vmap.
 
     Extra args: T_i_cs: SE3 with leading (S,); ts (S, T); acc/gyro
     (S, T, P, 3); imu_t/imu_valid (S, T, P) (see runner.pack_imu_frames).
+    ba_every: same deferred scan-uniform window-BA cadence as
+    system_chunk_batch (the vmapped keyframe lax.cond lowers to select, so
+    per-keyframe cadence pays the full Schur solve every frame of every
+    sequence; N>1 runs the solve once per N frames as a REAL branch with
+    corrections ≤N frames late — the reference's async-feedback contract).
     """
     bcfg = _batched_bcfg(bcfg)
     null = window_ba.null_correction(bcfg)
     sw = lambda a: jnp.swapaxes(a, 0, 1)
     xs = tuple(map(sw, (imgs0, imgs1, ts, acc, gyro, imu_t, imu_valid)))
 
+    if ba_every == 1:
+        def step(carry, x):
+            fes, bas, vios, cs = carry
+
+            def one(cam, T_i_c, fe, ba, vio, corr, *x_one):
+                (fe, ba, vio, corr), (out, _pkt, _corr, cost) = \
+                    runner_m._fused_vio_frame_step(fcfg, bcfg, vcfg, cam,
+                                                   T_i_c, null,
+                                                   (fe, ba, vio, corr),
+                                                   x_one)
+                return (fe, ba, vio, corr), (out, cost)
+
+            (fes, bas, vios, cs), ys = jax.vmap(one)(cams, T_i_cs, fes, bas,
+                                                     vios, cs, *x)
+            return (fes, bas, vios, cs), ys
+
+        (fe_states, ba_states, vio_states, corrs), (outs, costs) = \
+            jax.lax.scan(step, (fe_states, ba_states, vio_states, corrs), xs)
+        outs = jax.tree.map(sw, outs)
+        return (fe_states, ba_states, vio_states, corrs, outs, sw(costs))
+
+    T = imgs0.shape[1]
+    xs = xs + (jnp.arange(T, dtype=jnp.int32),)
+
     def step(carry, x):
         fes, bas, vios, cs = carry
+        *x_seq, t = x
 
-        def one(cam, T_i_c, fe, ba, vio, corr, *x_one):
-            (fe, ba, vio, corr), (out, _pkt, _corr, cost) = \
-                runner_m._fused_vio_frame_step(fcfg, bcfg, vcfg, cam, T_i_c,
-                                               null, (fe, ba, vio, corr),
-                                               x_one)
-            return (fe, ba, vio, corr), (out, cost)
+        def track_one(cam, T_i_c, fe, ba, vio, corr, *x_one):
+            fe, vio, out = runner_m._vio_frame_core(
+                fcfg, vcfg, cam, T_i_c, fe, vio, corr, x_one)
+            ba = jax.lax.cond(out.reset_backend,
+                              lambda s: window_ba.reset(bcfg, s),
+                              lambda s: s, ba)
+            pkt = tracker.make_keyframe_packet(fe, out)
+            ba = jax.lax.cond(out.is_keyframe,
+                              lambda s: window_ba.add_keyframe(bcfg, s, pkt),
+                              lambda s: s, ba)
+            return fe, ba, vio, out
 
-        (fes, bas, vios, cs), ys = jax.vmap(one)(cams, T_i_cs, fes, bas,
-                                                 vios, cs, *x)
-        return (fes, bas, vios, cs), ys
+        fes, bas, vios, outs = jax.vmap(track_one)(cams, T_i_cs, fes, bas,
+                                                   vios, cs, *x_seq)
+
+        def do_ba(b):
+            def one(cam, ba):
+                res = window_ba.optimize(bcfg, cam, ba)
+                return res.state, res.correction, res.cost
+            return jax.vmap(one)(cams, b)
+
+        def no_ba(b):
+            S = imgs0.shape[0]
+            null_b = jax.tree.map(
+                lambda a: jnp.broadcast_to(a, (S,) + a.shape), null)
+            return b, null_b, jnp.zeros(S, jnp.float32)
+
+        bas, cs_new, costs = jax.lax.cond(
+            t % ba_every == ba_every - 1, do_ba, no_ba, bas)
+        return (fes, bas, vios, cs_new), (outs, costs)
 
     (fe_states, ba_states, vio_states, corrs), (outs, costs) = jax.lax.scan(
         step, (fe_states, ba_states, vio_states, corrs), xs)

@@ -169,11 +169,12 @@ def _chunk_fused_vio(fcfg, bcfg, vcfg, cam, T_i_c, fe_state, ba_state,
     return fe_state, ba_state, vio_state, corr, ys
 
 
-def _fused_vio_frame_step(fcfg, bcfg, vcfg, cam, T_i_c, null, carry, xs):
-    """One frame of the fused VIO pipeline (IMU propagation → feedforward
-    prior → track → RP blend → keyframe BA → bias feedback).  Shared by
-    _chunk_fused_vio and the (S,)-batched multi-sequence DP variant."""
-    fe, ba, vio, corr = carry
+def _vio_frame_core(fcfg, vcfg, cam, T_i_c, fe, vio, corr, xs):
+    """The VIO frame step minus the backend tail: IMU propagation →
+    feedforward prior → track → RP blend → vision→IMU bias feedback.
+    Shared by _fused_vio_frame_step and the deferred-cadence (ba_every>1)
+    multi-sequence DP step, which runs the window-BA solve on a
+    scan-uniform schedule outside the vmapped per-sequence step."""
     i0, i1, t_img, a, g, it, iv = xs
     vio = vimotion.imu_feed_batch(vcfg, vio, a, g, it, iv)
     ff = vimotion.get_frame_state(vio, t_img, T_i_c)
@@ -191,13 +192,23 @@ def _fused_vio_frame_step(fcfg, bcfg, vcfg, cam, T_i_c, null, carry, xs):
                          T_blend, out.T_c_w)
     fe = tracker.rebase_pose_(fe, fe.frame_id - 1, T_out, do_blend)
     out = out._replace(T_c_w=T_out)
-
-    ba, pkt, corr_new, cost = _ba_tail(fcfg, bcfg, cam, null, fe, ba, out)
+    # Vision → IMU bias feedback; independent of the backend tail, so it
+    # runs here (before BA) with identical semantics to the stepwise path.
     vio = jax.lax.cond(
         out.status == tracker.STATUS_TRACKING,
         lambda v: vimotion.correction_from_vision(vcfg, v, t_img, T_out,
                                                   T_i_c),
         lambda v: v, vio)
+    return fe, vio, out
+
+
+def _fused_vio_frame_step(fcfg, bcfg, vcfg, cam, T_i_c, null, carry, xs):
+    """One frame of the fused VIO pipeline (IMU propagation → feedforward
+    prior → track → RP blend → keyframe BA → bias feedback).  Shared by
+    _chunk_fused_vio and the (S,)-batched multi-sequence DP variant."""
+    fe, ba, vio, corr = carry
+    fe, vio, out = _vio_frame_core(fcfg, vcfg, cam, T_i_c, fe, vio, corr, xs)
+    ba, pkt, corr_new, cost = _ba_tail(fcfg, bcfg, cam, null, fe, ba, out)
     return (fe, ba, vio, corr_new), (out, pkt, corr_new, cost)
 
 

@@ -516,7 +516,9 @@ class TestVocabRefresh:
             for k, (il, ir, t) in enumerate(frames):
                 lc.add_keyframe(il, ir, se3.SE3(so3.identity(),
                                                 jnp.asarray(t)), frame_id=k)
-            assert lc._vocab_refreshed == (refresh_at > 0)
+            refreshed = (refresh_at > 0
+                         and lc._next_vocab_refresh > refresh_at)
+            assert refreshed == (refresh_at > 0)
             sims = np.asarray(jnp.stack([
                 bow.score(lc.bow_db[qi], lc.bow_db[r])
                 for r in range(8, 22) if r != qi]))
@@ -531,6 +533,93 @@ class TestVocabRefresh:
         # The refreshed vocabulary separates the drifted-scene revisit from
         # false candidates better than the stale opening-scene vocabulary.
         assert margins[16] > margins[0], margins
+
+    def test_refresh_repeats_on_doubling_schedule(self):
+        """The refresh is NOT one-shot: it re-fires each time the run
+        doubles past the last training point (8, 16, 32, ...), so a long
+        run never ends with a vocabulary more than 2x staler than its
+        database (round-3 weakness: a single refresh at KF 64 left a
+        2000-KF run scoring its tail against an opening-scene word set)."""
+        scfg = SceneConfig(width=256, height=192, fx=200.0, fy=200.0,
+                           cx=128.0, cy=96.0, baseline=0.12)
+        scene = PlanarScene(scfg, plane_depth=8.0, seed=5)
+        cfg = LoopConfig(max_keyframes=64, num_orb_features=128,
+                         vocab_words=64, kf_start=50, kf_dist=50,
+                         vocab_refresh_at=8)
+        lc = LoopCloser(cfg, cam=camera.make(
+            scfg.fx, scfg.fy, scfg.cx, scfg.cy, scfg.baseline,
+            width=scfg.width, height=scfg.height))
+        vocab_ids = set()
+        for k in range(34):
+            t = np.asarray([0.03 * k, 0.0, 0.0], np.float32)
+            il, ir, _ = scene.render(np.eye(3), t)
+            lc.add_keyframe(il, ir, se3.SE3(so3.identity(), jnp.asarray(t)),
+                            frame_id=k)
+            if lc.vocab is not None:
+                vocab_ids.add(id(lc.vocab))
+        # Initial training at 8 KFs + refreshes at 8 (same call), 16, 32:
+        # at least 3 distinct vocabulary objects observed, and the next
+        # refresh is scheduled past the doubling point.
+        assert len(vocab_ids) >= 3, len(vocab_ids)
+        assert lc._next_vocab_refresh >= 64
+
+    def test_held_out_scene_recognition(self):
+        """Vocabulary generality (the reference assumes an OFFLINE DBoW3
+        vocabulary trained on a diverse corpus): a vocabulary trained on
+        scenes A-D must still separate a genuine revisit from false
+        candidates in a NEVER-SEEN scene E — the corpus-trained analogue of
+        the reference's pretrained-file path (vo_loopclosing.cpp:1095-1102)."""
+        from scipy.spatial.transform import Rotation as Rot
+
+        from flvis_tpu.loop import bow
+        from flvis_tpu.ops import orb
+        from flvis_tpu.io.synthetic import MultiPlaneScene
+
+        scfg = SceneConfig(width=256, height=192, fx=200.0, fy=200.0,
+                           cx=128.0, cy=96.0, baseline=0.12)
+        # Training corpus: 4 scenes with different structure and textures.
+        corpus = []
+        for seed in (3, 14, 15, 92):
+            sc = (PlanarScene(scfg, plane_depth=6.0 + seed % 5, seed=seed)
+                  if seed % 2 else MultiPlaneScene(scfg, seed=seed))
+            for k in range(4):
+                t = np.asarray([0.08 * k, 0.0, 0.0], np.float32)
+                il = sc.render(np.eye(3), t)[0]
+                uv, desc, valid, _ = orb.detect_and_compute(
+                    jnp.asarray(il), num_features=256)
+                corpus.append(np.asarray(desc)[np.asarray(valid)])
+        all_desc = np.concatenate(corpus, axis=0)
+        vocab = bow.train(jnp.asarray(all_desc),
+                          np.ones(len(all_desc), bool), num_words=512,
+                          iters=6)
+
+        # Held-out scene E: a yaw pan out and back (rotation changes the
+        # view far faster than small translations — a 2-degree step shifts
+        # the image ~7 px at fx=200, so viewpoint distance is measurable).
+        # The return grid is offset 1 degree from the outbound grid, so the
+        # revisit is near-identical but never pixel-identical.
+        scene_e = MultiPlaneScene(scfg, seed=41)
+        yaws = [2.0 * k for k in range(10)] + \
+            [18.0 - 2.0 * k + 1.0 for k in range(9)]
+        vecs = []
+        for y in yaws:
+            R = Rot.from_euler("y", y, degrees=True).as_matrix()
+            il = scene_e.render(R, np.zeros(3, np.float32))[0]
+            uv, desc, valid, _ = orb.detect_and_compute(
+                jnp.asarray(il), num_features=256)
+            vecs.append(bow.transform(vocab, desc, valid))
+        qi = 17                          # return pass, yaw 5 deg
+        sims = {r: float(bow.score(vecs[qi], vecs[r]))
+                for r in range(len(yaws)) if r != qi}
+        # True candidates: OUT-pass frames within 1 degree of the query.
+        s_true = max(s for r, s in sims.items()
+                     if r < 10 and abs(yaws[r] - yaws[qi]) <= 1.0)
+        # False candidates: any frame more than 3 degrees away.
+        s_false = max(s for r, s in sims.items()
+                      if abs(yaws[r] - yaws[qi]) > 3.0)
+        assert s_true > s_false, (
+            f"held-out revisit not separated: true={s_true:.3f} "
+            f"best-false={s_false:.3f}")
 
 
 class TestLoopCloserSharded:

@@ -259,6 +259,76 @@ class TestSystemDPBaCadence:
         assert (costs2[:, 0::2] == 0).all()
         assert np.isfinite(costs2).all()
 
+    def test_vio_ba_every_2_stays_close_to_per_keyframe(self):
+        """Same deferred-cadence contract for the FULL-VIO DP variant
+        (system_chunk_batch_vio ba_every=2) — the north-star 'all EuRoC
+        runs at once' workload pays the cond→select Schur tax every frame
+        at per-keyframe cadence; the scan-uniform schedule must hold
+        status/keyframe decisions identical and trajectories sub-5 mm."""
+        from flvis_tpu.config import VioConfig
+        from flvis_tpu.io.synthetic import (PlanarScene, SceneConfig,
+                                            imu_from_trajectory,
+                                            orbit_trajectory)
+        from flvis_tpu.pipeline import runner as runner_m
+
+        S, T, P = 4, 6, 16
+        fcfg = FrontendConfig(width=256, height=192, num_slots=64,
+                              pyramid_levels=3, per_cell=4,
+                              min_distance=10.0, margin=12, lk_radius=7,
+                              ransac_hypotheses=32, kf_bootstrap_every=2)
+        bcfg = BackendConfig(window_size=4, max_landmarks=128, min_views=2,
+                             iters1=4, iters2=3, pallas_schur=False)
+        vcfg = VioConfig()
+        mesh = multiseq.make_mesh(S)
+        cam1 = camera.make(200.0, 200.0, 128.0, 96.0, 0.12,
+                           width=256, height=192)
+        scfg = SceneConfig(width=256, height=192, fx=200.0, fy=200.0,
+                           cx=128.0, cy=96.0, baseline=0.12)
+        seqs = []
+        for s in range(S):
+            scene = PlanarScene(scfg, plane_depth=8.0, seed=s)
+            poses = orbit_trajectory(T, step=0.04)
+            frames = [scene.render(R, t) for (R, t) in poses]
+            t_imu, gyro, acc, frame_t = imu_from_trajectory(poses, fps=20.0)
+            accs, gyros, imuts = [], [], []
+            prev = -np.inf
+            for ft in frame_t:
+                m = (t_imu > prev) & (t_imu <= ft)
+                accs.append(acc[m]); gyros.append(gyro[m])
+                imuts.append(t_imu[m]); prev = ft
+            a_p, g_p, t_p, v_p = runner_m.pack_imu_frames(
+                accs, gyros, imuts, P)
+            seqs.append((np.stack([f[0] for f in frames]),
+                         np.stack([f[1] for f in frames]),
+                         np.asarray(frame_t, np.float32),
+                         a_p, g_p, t_p, v_p))
+        stack = lambda i: jnp.asarray(np.stack([x[i] for x in seqs]))
+        sh = lambda a: multiseq.shard_batch(mesh, a)
+        cams = sh(jax.tree.map(
+            lambda a: jnp.broadcast_to(jnp.asarray(a),
+                                       (S,) + jnp.shape(jnp.asarray(a))),
+            cam1))
+        T_i_cs = sh(jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (S,) + a.shape), se3.identity()))
+        args = tuple(sh(stack(i)) for i in range(7))
+
+        outs_by_cadence = {}
+        for n in (1, 2):
+            fe_b, ba_b, corr_b, vio_b = multiseq.init_system_states(
+                fcfg, bcfg, S, mesh, vcfg=vcfg)
+            _, _, _, _, outs, costs = multiseq.system_chunk_batch_vio(
+                fcfg, bcfg, vcfg, cams, T_i_cs, fe_b, ba_b, vio_b, corr_b,
+                *args, ba_every=n)
+            outs_by_cadence[n] = (jax.tree.map(np.asarray, outs),
+                                  np.asarray(costs))
+        ref, _ = outs_by_cadence[1]
+        got, costs2 = outs_by_cadence[2]
+        np.testing.assert_array_equal(got.status, ref.status)
+        np.testing.assert_array_equal(got.is_keyframe, ref.is_keyframe)
+        np.testing.assert_allclose(got.T_c_w.t, ref.T_c_w.t, atol=5e-3)
+        assert (costs2[:, 0::2] == 0).all()
+        assert np.isfinite(costs2).all()
+
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs multi-device mesh")
 class TestDistBA:
