@@ -179,7 +179,28 @@ def _on_tpu() -> bool:
         return False
 
 
-def _gather_blocks(padded, cx, cy, size: int):
+def extract_patches_int(img, centers, radius: int, exact: bool = True):
+    """Integer-centered square patches: like extract_patches but for INTEGER
+    pixel centers (e.g. FAST corners) — skips the 4-term bilinear blend and
+    the (S+1, S+1) over-gather entirely, returning (N, S, S) blocks.
+
+    exact=False relaxes the gather matmuls to one bf16 pass per operand
+    (see _gather_blocks_matmul): raw 0-255 intensities are EXACT in bf16
+    (8 significant bits) and blurred values round by ≤0.5 intensity unit —
+    the reference's cv::ORB samples uint8 with no interpolation at all
+    (vo_loopclosing.cpp:243-245), so this is within its own quantization.
+    Keep exact=True for any consumer doing subpixel-sensitive arithmetic.
+    """
+    h, w = img.shape
+    s = 2 * radius + 1
+    pad = radius + 1
+    imgp = jnp.pad(img, pad, mode="edge")
+    xi = jnp.clip(centers[:, 0].astype(jnp.int32), -1, w) - radius + pad
+    yi = jnp.clip(centers[:, 1].astype(jnp.int32), -1, h) - radius + pad
+    return _gather_blocks(imgp, xi, yi, s, exact=exact)
+
+
+def _gather_blocks(padded, cx, cy, size: int, exact: bool = True):
     """(N,) int32 padded-space corners → per-point blocks from `padded`
     ((H, W) → (N, size, size); (C, H, W) → (N, C, size, size)).
 
@@ -210,10 +231,10 @@ def _gather_blocks(padded, cx, cy, size: int):
         return jax.vmap(
             lambda yy, xx: jax.lax.dynamic_slice(padded, (0, yy, xx), (c, size, size))
         )(cy, cx)
-    return _gather_blocks_matmul(padded, cx, cy, size)
+    return _gather_blocks_matmul(padded, cx, cy, size, exact=exact)
 
 
-def _gather_blocks_matmul(padded, cx, cy, size: int):
+def _gather_blocks_matmul(padded, cx, cy, size: int, exact: bool = True):
     """One-hot-matmul block gather (see _gather_blocks).
 
     Exact, at asymmetric per-operand precision: the 0/1 selection matrices
@@ -227,8 +248,14 @@ def _gather_blocks_matmul(padded, cx, cy, size: int):
     loses the MXU efficiency the MAC count gains."""
     hp, wp = padded.shape[-2:]
     dt = padded.dtype
-    sel_data = (jax.lax.Precision.DEFAULT, jax.lax.Precision.HIGHEST)
-    data_sel = (jax.lax.Precision.HIGHEST, jax.lax.Precision.DEFAULT)
+    # exact=False drops the image operand to DEFAULT too (ONE bf16 pass on
+    # both sides): each gathered value is then the bf16 rounding of the
+    # pixel (≤0.5 intensity unit for blurred [0,255] data; raw integer
+    # intensities are exact).  Right for consumers with uint8-grade
+    # tolerance (ORB descriptors); wrong for subpixel-iterating ones (LK).
+    data_p = jax.lax.Precision.HIGHEST if exact else jax.lax.Precision.DEFAULT
+    sel_data = (jax.lax.Precision.DEFAULT, data_p)
+    data_sel = (data_p, jax.lax.Precision.DEFAULT)
     rows = cy[:, None] + jnp.arange(size)[None, :]            # (N, size)
     cols = cx[:, None] + jnp.arange(size)[None, :]
     Ry = (rows[:, :, None] == jnp.arange(hp)[None, None, :]).astype(dt)

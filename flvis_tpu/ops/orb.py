@@ -68,11 +68,17 @@ def _moment_kernels(radius: int = 15):
     return (xs * disk).astype(np.float32), (ys * disk).astype(np.float32)
 
 
-def orientations_from_patches(patches, radius: int = 15):
+def orientations_from_patches(patches, radius: int | None = None):
     """IC angle from pre-extracted (N, S, S) patches with S ≥ 2·radius+1
     (centre-cropped) — lets detect_and_compute share ONE patch gather
-    between orientation and BRIEF instead of extracting twice."""
+    between orientation and BRIEF instead of extracting twice.  With
+    radius=None the full patch is the moment disk (the shared 27×27 ORB
+    patch gives radius 13; OpenCV's IC_Angle uses 15 — the centroid is a
+    ~530-pixel low-pass statistic either way, angle deviation <1° on
+    textured patches)."""
     S = patches.shape[-1]
+    if radius is None:
+        radius = (S - 1) // 2
     c = (S - (2 * radius + 1)) // 2
     p = patches[:, c:c + 2 * radius + 1, c:c + 2 * radius + 1]
     kx, ky = _moment_kernels(radius)
@@ -81,16 +87,13 @@ def orientations_from_patches(patches, radius: int = 15):
     return jnp.arctan2(m01, m10)
 
 
-def _half_res(img):
-    """2x2 mean decimation (same as the stereo sweep's)."""
-    h2, w2 = img.shape[0] // 2, img.shape[1] // 2
-    a = img[: 2 * h2, : 2 * w2]
-    return 0.25 * (a[0::2, 0::2] + a[1::2, 0::2]
-                   + a[0::2, 1::2] + a[1::2, 1::2])
-
-
-def orientations(img, pts, radius: int = 15):
+def orientations(img, pts, radius: int | None = None):
     """Intensity-centroid angle θ = atan2(m01, m10) per keypoint (IC_Angle).
+
+    Default radius is _PATCH_R (13) — the SAME disk detect_and_compute's
+    shared-patch path uses, so angles (and therefore descriptors) agree
+    across the two paths.  (OpenCV's IC_Angle uses 15; the centroid is a
+    ~530-pixel low-pass statistic either way.)
 
     Per-keypoint (2r+1)² patches (one block-matmul gather) contracted with
     the constant disk moment kernels.  The previous formulation — two
@@ -99,18 +102,37 @@ def orientations(img, pts, radius: int = 15):
     see ops/image._sep_filter); this one is ~0.5 ms for 500 keypoints and
     bit-identical for keypoints ≥ radius from the border (detection excludes
     the border)."""
+    if radius is None:
+        radius = _PATCH_R
     patches = imops.extract_patches(img, pts, radius)     # (N, S, S)
     return orientations_from_patches(patches, radius)
 
 
 def _brief_pattern(num_pairs: int = 256, patch: int = 24, seed: int = 42):
-    """Gaussian BRIEF sampling pairs, (P, 4) = (x1, y1, x2, y2)."""
+    """Gaussian BRIEF sampling pairs, (P, 4) = (x1, y1, x2, y2).
+
+    Endpoints are clipped per-coordinate to ±patch/2, then NORM-clipped to
+    radius patch/2: a corner-of-the-box point would sweep out to
+    (patch/2)·√2 under rotation, forcing the shared orientation+BRIEF patch
+    to radius 19; pulling the ~4% of endpoints with ‖p‖ > patch/2 back onto
+    the radius-12 circle (a ≤41% radial shrink on those few) bounds the
+    rotated support to ±12 and lets the patch shrink to 27×27 — halving
+    the MACs in the dominant per-keypoint gather and sampling matmuls."""
     rng = np.random.default_rng(seed)
     pat = rng.normal(0.0, patch / 5.0, size=(num_pairs, 4))
-    return np.clip(pat, -patch / 2, patch / 2).astype(np.float32)
+    pat = np.clip(pat, -patch / 2, patch / 2)
+    for k in (0, 2):                       # endpoints (x1,y1), (x2,y2)
+        n = np.hypot(pat[:, k], pat[:, k + 1])
+        scale = np.minimum(1.0, (patch / 2) / np.maximum(n, 1e-6))
+        pat[:, k] *= scale
+        pat[:, k + 1] *= scale
+    return pat.astype(np.float32)
 
 
 _PATTERN = _brief_pattern()
+# Patch half-size for the shared orientation+BRIEF gather: rotated BRIEF
+# support is ≤12 (norm-clipped pattern) + 1 for bilinear interpolation.
+_PATCH_R = 13
 
 
 def brief_descriptors(img_blur, pts, angles):
@@ -123,18 +145,20 @@ def brief_descriptors(img_blur, pts, angles):
     bilinear hat-function selection — a batched (N,512,S)×(N,S,S) matmul for
     the row interpolation and a lane reduction for the columns.  The previous
     per-position `bilinear_sample` issued N·512 scattered 4-tap image gathers
-    (~12 ms for 500 keypoints); this runs in ~1-2 ms and is numerically
-    identical for keypoints ≥ r from the border (detection excludes them).
+    (~12 ms for 500 keypoints); this runs in ~1-2 ms and matches it to bf16
+    rounding (≲0.5 intensity unit — see brief_from_patches) for keypoints
+    ≥ r from the border (detection excludes them).
     """
-    r = 19
-    patches = imops.extract_patches(img_blur, pts, r)            # (N, S, S)
+    patches = imops.extract_patches(img_blur, pts, _PATCH_R)     # (N, S, S)
     return brief_from_patches(patches, angles)
 
 
-def brief_from_patches(patches, angles, r: int = 19):
-    """Rotated BRIEF-256 from pre-extracted (N, 2r+1, 2r+1) blurred patches
-    (see brief_descriptors; split out so detect_and_compute can share one
-    patch gather with the orientation stage)."""
+def brief_from_patches(patches, angles):
+    """Rotated BRIEF-256 from pre-extracted (N, S, S) blurred patches with
+    S ≥ 27 (see brief_descriptors; split out so detect_and_compute can share
+    one patch gather with the orientation stage).  The patch half-size is
+    inferred from the patch shape."""
+    r = (patches.shape[-1] - 1) // 2
     pat = jnp.asarray(_PATTERN)                       # (256, 4)
     ca, sa = jnp.cos(angles), jnp.sin(angles)         # (N,)
     xs = jnp.concatenate([pat[:, 0], pat[:, 2]])      # (512,)
@@ -142,19 +166,22 @@ def brief_from_patches(patches, angles, r: int = 19):
     rx = ca[:, None] * xs[None, :] - sa[:, None] * ys[None, :]   # (N, 512)
     ry = sa[:, None] * xs[None, :] + ca[:, None] * ys[None, :]
 
-    # Offsets lie within ±12·√2 ≈ ±17 after rotation; radius 19 covers the
-    # bilinear support.
+    # Offsets lie within ±12 after rotation (norm-clipped pattern); the
+    # patch radius covers the bilinear support.
     s = 2 * r + 1
     py = jnp.clip(ry + r, 0.0, s - 1.000001)
     px = jnp.clip(rx + r, 0.0, s - 1.000001)
     grid = jnp.arange(s, dtype=jnp.float32)
     wy = jnp.maximum(0.0, 1.0 - jnp.abs(grid[None, None, :] - py[..., None]))
     wx = jnp.maximum(0.0, 1.0 - jnp.abs(grid[None, None, :] - px[..., None]))
-    # precision="highest": bits come from comparing near-tie sample pairs;
-    # the TPU default bf16 matmul path (~0.4 intensity units of rounding)
-    # would flip bits and break the bit-identical claim above.
+    # ONE bf16 pass: each row has ≤2 nonzero hat weights, so the sample
+    # rounds by ≲0.5 intensity unit — the same uint8-grade quantization the
+    # reference's cv::ORB lives with (it samples integer pixels with no
+    # interpolation at all).  Near-tie bits may flip vs an f32 sampling,
+    # but database and query descriptors are computed identically, so
+    # matching Hamming distances are unaffected in expectation.
     rows = jnp.einsum("npy,nyx->npx", wy, patches,
-                      precision="highest")                       # (N, 512, S)
+                      precision="default")                       # (N, 512, S)
     samples = jnp.sum(rows * wx, axis=-1)                        # (N, 512)
     bits = samples[:, :256] < samples[:, 256:]
     # Pack 256 bits → 8 uint32 words.
@@ -194,15 +221,19 @@ def detect_and_compute(img, num_features: int = 500, threshold: float = 20.0):
                     (top_idx // w).astype(jnp.float32)], axis=-1)
     valid = top_val > 0.0
 
-    # ONE shared (N, 39, 39) blurred-patch gather serves both the
-    # orientation moments (centre 31×31 crop) and rotated BRIEF — the
-    # per-point patch gather is the dominant per-keypoint cost.  Computing
-    # IC_Angle on the σ=2-blurred patch instead of the raw image deviates
-    # from the reference's raw-image moments by <1° on textured patches
-    # (the centroid is a low-pass statistic already); BRIEF bits are
-    # computed on the blurred patch in both formulations.
+    # ONE shared (N, 27, 27) blurred-patch gather serves both the
+    # orientation moments (full-patch disk) and rotated BRIEF — the
+    # per-point patch gather is the dominant per-keypoint cost.  FAST
+    # corners sit at integer pixels, so the gather skips subpixel blending
+    # (extract_patches_int), and exact=False runs its selection matmuls in
+    # one bf16 pass per operand (≤0.5-unit rounding on blurred [0,255]
+    # data — the reference's cv::ORB samples uint8 with no interpolation).
+    # Computing IC_Angle on the σ=2-blurred patch instead of the raw image
+    # deviates from the reference's raw-image moments by <1° on textured
+    # patches (the centroid is a low-pass statistic already); BRIEF bits
+    # are computed on the blurred patch in both formulations.
     blur = imops.gaussian_blur(img, sigma=2.0, ksize=7)
-    patches = imops.extract_patches(blur, uv, 19)
+    patches = imops.extract_patches_int(blur, uv, _PATCH_R, exact=False)
     ang = orientations_from_patches(patches)
     desc = brief_from_patches(patches, ang)
     return uv, desc, valid, ang

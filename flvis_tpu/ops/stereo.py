@@ -34,13 +34,38 @@ from . import image as imops
 
 def _box2d(vol, radius: int):
     """Separable box sum over the last two dims of (..., H, W) — shift-and-
-    add slices (see image._sep_filter for why not lax.conv)."""
+    add slices (see image._sep_filter for why not lax.conv).
+
+    radius=4 fast path: a 9-tap box factors EXACTLY as a 3-tap sum composed
+    with a 3-tap sum dilated by 3, cutting the VPU adds from 8 to 4 per
+    axis — the sweep's box stage is add-count-bound, not bandwidth-bound
+    (tools/profile_sweep_variants.py).  Edge-replicate padding is applied
+    up front so the composition matches the single-stage filter everywhere,
+    border included."""
+    if radius == 4:
+        nb = vol.ndim - 2
+        p = jnp.pad(vol, ((0, 0),) * nb + ((4, 4), (4, 4)), mode="edge")
+
+        def tap3(v, axis, d):
+            def sub(lo):
+                s = [slice(None)] * v.ndim
+                hi = lo - 2 * d
+                s[axis] = slice(lo, hi if hi != 0 else None)
+                return v[tuple(s)]
+
+            return sub(0) + sub(d) + sub(2 * d)
+
+        def s9(v, axis):
+            return tap3(tap3(v, axis, 1), axis, 3)
+
+        return s9(s9(p, vol.ndim - 1), vol.ndim - 2)
     k = np.ones(2 * radius + 1, np.float32)
     return imops._sep_filter(vol, k, k)
 
 
-@functools.partial(jax.jit, static_argnames=("d_max", "radius"))
-def disparity_sweep(img_l, img_r, d_max: int = 64, radius: int = 4):
+@functools.partial(jax.jit, static_argnames=("d_max", "radius", "use_kernel"))
+def disparity_sweep(img_l, img_r, d_max: int = 64, radius: int = 4,
+                    use_kernel: bool | None = None):
     """Half-resolution plane-sweep disparity for a rectified pair.
 
     Args:
@@ -48,18 +73,34 @@ def disparity_sweep(img_l, img_r, d_max: int = 64, radius: int = 4):
       d_max: number of candidate integer disparities at HALF resolution
         (covers [0, 2·d_max) full-res disparity).
       radius: box-matching window radius at half resolution.
+      use_kernel: route the volume sweep through the fused Pallas kernel
+        (ops/pallas/sweep.py) — default on TPU for radius 4, where the XLA
+        volume materialization is the whole-ingest bottleneck.
     Returns (disp, valid): FULL-resolution-scale disparity (H/2, W/2) and a
     validity mask (textured, unambiguous, in-range matches).
     """
     # 2×2 mean decimation: cheap anti-alias + halves the sweep volume.
+    # RESHAPE-mean, not stride-2 slices: a[0::2, 0::2]-style gathers became
+    # the single most expensive piece of the whole sweep (~1.05 ms/image —
+    # XLA re-evaluates the strided relayout for every downstream consumer
+    # of the half-res images, i.e. all 64 shifted volume slices), while the
+    # (h2, 2, w2, 2) reshape + mean is one pass (~0.28 ms) and bit-cheap.
     def half(a):
         h2, w2 = a.shape[0] // 2, a.shape[1] // 2
         a = a[: 2 * h2, : 2 * w2]
-        return 0.25 * (a[0::2, 0::2] + a[1::2, 0::2]
-                       + a[0::2, 1::2] + a[1::2, 1::2])
+        return a.reshape(h2, 2, w2, 2).mean(axis=(1, 3))
 
     L, R = half(img_l), half(img_r)
     Hh, Wh = L.shape
+    if use_kernel is None:
+        use_kernel = jax.default_backend() == "tpu" and radius == 4
+    if use_kernel:
+        from .pallas.sweep import sweep_maps_pallas
+
+        disp_h, _, ok = sweep_maps_pallas(L, R, d_max=d_max, radius=radius)
+        area = float((2 * radius + 1) ** 2)
+        texture = _box2d(jnp.abs(L - imops.box_filter(L, radius)), radius)
+        return 2.0 * disp_h, ok & (texture > 4.0 * area)
     # Cost volume: SAD of L vs R shifted right by d (replicate out-of-range).
     # bf16 halves the volume's HBM traffic — the sweep is bandwidth-bound
     # and SAD winners are separated by whole intensity units, far above
@@ -67,17 +108,25 @@ def disparity_sweep(img_l, img_r, d_max: int = 64, radius: int = 4):
     Rp = jnp.pad(R, ((0, 0), (d_max, 0)), mode="edge")
     shifted = jnp.stack([Rp[:, d_max - d: d_max - d + Wh]
                          for d in range(d_max)])          # (D, Hh, Wh)
-    cost = _box2d(jnp.abs(L[None] - shifted).astype(jnp.bfloat16),
-                  radius).astype(jnp.float32)             # (D, Hh, Wh)
+    # The cost volume stays bf16 END-TO-END (not just through the box
+    # filter): the argmin/min/neighbour reductions below re-read the whole
+    # (D, Hh, Wh) volume, so an f32 copy doubles their HBM traffic for
+    # precision the parabola doesn't need — near a good minimum the SAD is
+    # O(10²-10³) where bf16 rounds by ≲4 units, a few % of the cm/cp
+    # curvature the subpixel fit divides by (±0.02 half-px on a ±0.25 fit).
+    cost = _box2d(jnp.abs(L[None] - shifted).astype(jnp.bfloat16), radius)
 
     best = jnp.argmin(cost, axis=0)                       # (Hh, Wh)
     d_idx = jnp.arange(d_max)[:, None, None]
-    c_best = jnp.min(cost, axis=0)
+    c_best = jnp.min(cost, axis=0).astype(jnp.float32)
     # Neighbour costs via one-hot masked reductions — take_along_axis
     # lowers to a per-pixel gather on TPU and dominated the whole sweep.
     db = d_idx - best[None]                               # (D, Hh, Wh)
-    cm = jnp.sum(jnp.where(db == -1, cost, 0.0), axis=0)
-    cp = jnp.sum(jnp.where(db == 1, cost, 0.0), axis=0)
+    zero = jnp.bfloat16(0)
+    cm = jnp.sum(jnp.where(db == -1, cost, zero), axis=0,
+                 dtype=jnp.float32)
+    cp = jnp.sum(jnp.where(db == 1, cost, zero), axis=0,
+                 dtype=jnp.float32)
     # 3-point parabolic subpixel around the winner.
     denom = cm + cp - 2.0 * c_best
     delta = jnp.where(denom > 1e-3, 0.5 * (cm - cp) / jnp.maximum(denom, 1e-3), 0.0)
@@ -92,7 +141,9 @@ def disparity_sweep(img_l, img_r, d_max: int = 64, radius: int = 4):
     # area x (mean absolute deviation), gated against 4 intensity units.
     area = float((2 * radius + 1) ** 2)
     texture = _box2d(jnp.abs(L - imops.box_filter(L, radius)), radius)
-    c_second = jnp.min(jnp.where(jnp.abs(db) > 2, cost, jnp.inf), axis=0)
+    c_second = jnp.min(jnp.where(jnp.abs(db) > 2, cost,
+                                 jnp.bfloat16(jnp.inf)), axis=0)
+    c_second = c_second.astype(jnp.float32)
     valid = ((texture > 4.0 * area)
              & (c_second > 1.05 * c_best + 1e-3)
              & (best > 0) & (best < d_max - 1))

@@ -97,3 +97,59 @@ def test_two_process_distributed_matches_single(tmp_path):
         # (vmap batches reductions differently): sub-mm agreement.
         np.testing.assert_allclose(d[f"t_{s}"],
                                    np.asarray(out_ref.T_c_w.t), atol=1e-3)
+
+
+@pytest.mark.slow
+def test_two_process_weak_scaling(tmp_path):
+    """Weak-scaling efficiency on the only hardware available: 1 vs 2
+    processes, one physical core + one device + one sequence EACH (taskset
+    pins each worker to its own core, so per-process compute is constant and
+    the ratio isolates orchestration/lockstep losses).  The ≥0.7 BASELINE
+    target is for ≥2 real hosts; this localhost-loopback number bounds the
+    framework-side losses and is recorded in BASELINE.md with that caveat."""
+
+    def run(nproc: int, port: int):
+        env = {
+            **os.environ,
+            "PYTHONPATH": REPO,
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+        }
+        env.pop("PYTHONSTARTUP", None)
+        procs = []
+        for pid in range(nproc):
+            procs.append(subprocess.Popen(
+                ["taskset", "-c", str(pid), sys.executable,
+                 os.path.join(REPO, "tests", "multihost_worker.py"),
+                 f"127.0.0.1:{port}", str(nproc), str(pid), str(tmp_path),
+                 "timed"],
+                env=env, stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT, cwd=REPO))
+        outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=600)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            outs.append(out.decode())
+        for pid, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+            assert "TIMED OK" in out
+        walls, frames = [], 0
+        for pid in range(nproc):
+            d = np.load(tmp_path / f"timed{pid}.npz")
+            walls.append(float(d["wall"]))
+            frames += int(d["frames"])
+        return frames / max(walls)          # aggregate frames/s
+
+    fps1 = run(1, 47211)
+    agg2 = run(2, 47213)
+    eff = agg2 / (2.0 * fps1)
+    print(f"weak scaling: 1-proc {fps1:.2f} fps, 2-proc agg {agg2:.2f} fps, "
+          f"efficiency {eff:.3f}")
+    (tmp_path / "efficiency.txt").write_text(str(eff))
+    # Loose floor: CPU-core contention jitter on the 2-core box; the
+    # measured value (recorded in BASELINE.md) is the real evidence.
+    assert eff > 0.5, eff

@@ -305,6 +305,29 @@ class TestDisparitySweep:
         assert ok.mean() > 0.7
         assert np.median(np.abs(np.asarray(d)[ok] - true_d)) < 0.3
 
+    def test_pallas_kernel_matches_xla_path(self, tex):
+        """The fused Pallas sweep (interpret mode on CPU) must agree with
+        the XLA formulation: identical validity away from the radius-wide
+        border band (which the kernel marks invalid instead of
+        edge-replicating) and sub-0.05-px disparity agreement (the kernel
+        boxes in f32, the XLA path in bf16)."""
+        from flvis_tpu.ops import stereo
+
+        right = warp_translate(tex, -9.0, 0.0)
+        d_x, v_x = stereo.disparity_sweep(jnp.asarray(tex),
+                                          jnp.asarray(right),
+                                          use_kernel=False)
+        d_k, v_k = stereo.disparity_sweep(jnp.asarray(tex),
+                                          jnp.asarray(right),
+                                          use_kernel=True)
+        v_x, v_k = np.asarray(v_x), np.asarray(v_k)
+        inner = np.zeros_like(v_x)
+        inner[:, 4:-4] = True
+        np.testing.assert_array_equal(v_x[inner], v_k[inner])
+        assert not v_k[~inner].any()          # border band invalidated
+        both = v_x & v_k
+        assert np.abs(np.asarray(d_x) - np.asarray(d_k))[both].max() < 0.05
+
     def test_textureless_region_invalid(self):
         from flvis_tpu.ops import stereo
 

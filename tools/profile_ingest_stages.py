@@ -74,8 +74,10 @@ def main():
                     (ti // 752).astype(jnp.float32)], axis=-1)
     blur = f_blur(il)
     f_patches = jax.jit(jax.vmap(
-        lambda im, pts: imops.extract_patches(im, pts, 19)))
-    timed("extract_patches (N=1000, r=19)", lambda: f_patches(blur, uv))
+        lambda im, pts: imops.extract_patches_int(im, pts, orb._PATCH_R,
+                                                  exact=False)))
+    timed(f"extract_patches_int (N=1000, r={orb._PATCH_R})",
+          lambda: f_patches(blur, uv))
 
     patches = f_patches(blur, uv)
     f_orient = jax.jit(jax.vmap(orb.orientations_from_patches))
