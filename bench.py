@@ -252,11 +252,13 @@ def main():
     scfg_loop = scfg_sys.replace(
         loop=_dc.replace(scfg_sys.loop, nkf_closest=10**6))
     slam_l = SlamSystem(scfg_loop, cam, use_loop=True)
-    # 4 warmup chunks: the candidate-gate program first dispatches when the
-    # store crosses kf_start (~chunk 3) and the vocabulary refresh fires at
-    # vocab_refresh_at (~chunk 3) — both one-time remote compiles that
-    # otherwise land inside the timed region.
-    for _ in range(4):
+    # 6 warmup chunks: the candidate-gate program first dispatches when the
+    # store crosses kf_start, and the vocabulary refreshes fire at KF 64
+    # AND 128 (doubling schedule) — at ~23 keyframes/chunk the 128-refresh
+    # lands in chunk 6, so warming through it keeps the one-time retrain
+    # (cheap now, but still a program build on its first occurrence) out of
+    # the timed region; the next refresh (256) is past the timed window.
+    for _ in range(6):
         slam_l.process_frames(vi0, vi1)
     sync(slam_l.fe_state)
     n_l = 3
@@ -282,13 +284,13 @@ def main():
             vi0, vi1, frame_t + off,
             accs, gyros, [t + off for t in imuts])
 
-    for r in range(4):
+    for r in range(6):                 # see the loop section's warmup note
         run_vio_loop(r)
     sync(slam_vl.fe_state)
     n_vl = 3
     t0 = time.perf_counter()
     for r in range(n_vl):
-        run_vio_loop(4 + r)
+        run_vio_loop(6 + r)
     sync(slam_vl.fe_state)
     system_vio_loop_fps = n_vl * CH / (time.perf_counter() - t0)
 
@@ -438,7 +440,7 @@ def main():
         peq.append(np.asarray(rel.q)); pet.append(np.asarray(rel.t))
         pev.append(a_idx + s_ < n_nodes)
         pew.append(np.full(Kp, 1.0 / s_, np.float32))
-    Lpad = 16
+    Lpad = 8                 # loop_closing's Woodbury bucket size
     li = np.zeros(Lpad, np.int32); lj = np.zeros(Lpad, np.int32)
     lq = np.tile(np.asarray([1.0, 0, 0, 0], np.float32), (Lpad, 1))
     lt = np.zeros((Lpad, 3), np.float32); lv = np.zeros(Lpad, bool)
@@ -477,27 +479,23 @@ def main():
 
     # Warm cadence: every LATER event re-solves seeded from the previous
     # solution (loop_closing._apply_pgo writes the optimized poses back into
-    # the pose table, so that is exactly what the next optimize_graph call
-    # reads) — plus what accumulated since: fresh odometry drift on the
-    # newest ~100 keyframes and one new loop edge.  LM accepts one real step
-    # and exits on the next (<1e-6 relative improvement), so the recurring
-    # per-event cost is the 2-iteration warm solve, not the 15-iteration
-    # cold one.  This is the cadence the frame path actually pays at every
-    # accepted loop after the first (the PGO throttle spaces them ≥2% of the
-    # keyframe count apart).
+    # the pose table, which is exactly what the next optimize_graph call
+    # reads as node initialization) plus ONE new loop edge.  Sequential
+    # edges are rebuilt from odometry, so new tail keyframes enter with
+    # near-zero band residual — the only fresh tension is the loop edge,
+    # which LM absorbs in a couple of accepted steps before the <1e-6
+    # relative-improvement exit fires.  This is the recurring cost the frame
+    # path pays at every accepted loop after the first (the PGO throttle
+    # spaces them ≥2% of the keyframe count apart); the cold number above is
+    # the run's first event only.
     import dataclasses as _dcp
 
-    rng_w = np.random.default_rng(7)
     warm_times = []
     g_ev = gsol
     for ev in range(2, 6):
         lv_ev = np.asarray(g_ev.edge_valid).copy()
         lv_ev[succ * Kp + ev] = True                 # one new loop edge
-        tail = np.asarray(g_ev.node_t).copy()
-        tail[n_nodes - 100:n_nodes] += rng_w.normal(
-            0, 0.03, (100, 3)).astype(np.float32)
-        g_ev = _dcp.replace(g_ev, edge_valid=jnp.asarray(lv_ev),
-                            node_t=jnp.asarray(tail))
+        g_ev = _dcp.replace(g_ev, edge_valid=jnp.asarray(lv_ev))
         sync(g_ev.node_t)
         t0 = time.perf_counter()
         g_ev, _ = pose_graph.optimize_banded(g_ev, fixed_p,
@@ -534,6 +532,7 @@ def main():
         "multiseq_ba_every": BA_EVERY,
         "multiseq_system8_vio_frames_per_s": round(multiseq_vio_fps, 1),
         "pgo2048_banded_ms": round(pgo2048_ms, 2),
+        "pgo2048_cold_ms": round(pgo2048_cold_ms, 2),
         "system_chunk": CH,
         "system_keyframe_fraction": round(n_kf / (5.0 * CH), 3),
     }

@@ -818,13 +818,23 @@ class LoopCloser:
                 or self.count < self._next_vocab_refresh):
             return
         n = self.count
-        desc = np.asarray(self.kf_desc[:n])        # one fetch per refresh
-        kpv = np.asarray(self.kf_kp_valid[:n])
+        # Fetch at POWER-OF-2 row buckets and train on a FIXED-size sample:
+        # `kf_desc[:count]` sliced at the raw count gave every refresh a
+        # fresh array shape, and shape-varying slices + a shape-varying
+        # k-means program meant a multi-second remote XLA compile PER
+        # REFRESH (the first refresh measured ~15 s, and one landed inside
+        # the bench's timed window — system_loop read 44 fps from compile
+        # stalls alone).  Pow-2 buckets recur across refreshes and runs;
+        # the fixed 8192-descriptor sample (with replacement when fewer are
+        # valid) keeps bow.train at ONE compiled shape forever.
+        n_b = 1 << (n - 1).bit_length()
+        n_b = min(n_b, self.kf_desc.shape[0])
+        desc = np.asarray(self.kf_desc[:n_b])[:n]
+        kpv = np.asarray(self.kf_kp_valid[:n_b])[:n]
         all_desc = desc[kpv]
-        if len(all_desc) > 8192:                     # bound the k-means cost
-            sel = np.random.default_rng(n).choice(len(all_desc), 8192,
-                                                  replace=False)
-            all_desc = all_desc[sel]
+        sel = np.random.default_rng(n).choice(len(all_desc), 8192,
+                                              replace=len(all_desc) < 8192)
+        all_desc = all_desc[sel]
         self.vocab = bow.train(
             jnp.asarray(all_desc), np.ones(len(all_desc), bool),
             num_words=cfg.vocab_words, iters=6, seed=1)
@@ -1039,10 +1049,12 @@ class LoopCloser:
         # per shape, and each XLA compile is expensive (remote-compile
         # tunnel) — bucketing bounds recompiles at O(log n) over a run.
         n_pad = max(32, 1 << (wn - 1).bit_length())
-        # Loop edges are few; pad to 16-slot buckets (Woodbury memory and
-        # the dense correction solve scale with the bucket).
+        # Loop edges are few; pad to 8-slot buckets (the Thomas multi-RHS
+        # pass and the dense correction solve scale with 6x the bucket — a
+        # 16-slot minimum made every warm event pay 97 RHS columns for a
+        # handful of real edges).
         L = len(self.closures)
-        loop_pad = max(16, 16 * ((L + 15) // 16))
+        loop_pad = max(8, 8 * ((L + 7) // 8))
         loop_i = np.zeros(loop_pad, np.int32)
         loop_j = np.zeros(loop_pad, np.int32)
         loop_q = np.tile(np.asarray([1.0, 0, 0, 0], np.float32), (loop_pad, 1))

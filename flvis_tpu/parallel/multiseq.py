@@ -331,3 +331,71 @@ def system_chunk_batch_vio(fcfg: FrontendConfig, bcfg: BackendConfig,
         step, (fe_states, ba_states, vio_states, corrs), xs)
     outs = jax.tree.map(sw, outs)
     return (fe_states, ba_states, vio_states, corrs, outs, sw(costs))
+
+
+# ---------------------------------------------------------------------------
+# Explicit-SPMD wrappers: shard_map over the `seq` mesh axis.
+#
+# The chunk programs above are embarrassingly parallel along `seq`, but
+# GSPMD auto-partitioning of the plain jitted program is NOT: the compiled
+# 2-device partition of system_chunk_batch carried 56 all-gathers and 156
+# all-reduces (XLA replicated/resharded intermediates it could not prove
+# batch-parallel).  Intra-chip those are cheap copies; ACROSS PROCESSES they
+# ride the gloo/DCN backend — the 2-process CPU weak-scaling harness
+# measured every step 3.6× slower from this alone.  shard_map makes the
+# parallelism a construction fact instead of a compiler inference: each
+# shard compiles the single-sequence-block program with ZERO collectives,
+# which is also the right shape for real multi-chip DP (nothing rides ICI
+# in the steady state; the scaling-book recipe's "annotate and let XLA
+# insert collectives" degenerates here to "there are none").
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _sharded_system_fn(mesh: Mesh, fcfg: FrontendConfig, bcfg: BackendConfig,
+                       ba_every: int):
+    # Cached per (mesh, cfgs, cadence): rebuilding jit(shard_map(...)) per
+    # call would recompile the chunk program every step.
+    def body(cams, fe, ba, corr, i0, i1):
+        return system_chunk_batch(fcfg, bcfg, cams, fe, ba, corr, i0, i1,
+                                  ba_every=ba_every)
+
+    # check_vma=False: the body is batch-parallel by construction; the
+    # variance checker rejects the nested jitted program's internal
+    # constants (pvary on already-varying values).
+    return jax.jit(jax.shard_map(body, mesh=mesh, in_specs=(P("seq"),) * 6,
+                                 out_specs=P("seq"), check_vma=False))
+
+
+def system_chunk_batch_sharded(mesh: Mesh, fcfg: FrontendConfig,
+                               bcfg: BackendConfig, cams, fe_states,
+                               ba_states, corrs, imgs0, imgs1,
+                               ba_every: int = 1):
+    """system_chunk_batch under shard_map(P('seq')) — see module note."""
+    fn = _sharded_system_fn(mesh, fcfg, bcfg, ba_every)
+    return fn(cams, fe_states, ba_states, corrs, imgs0, imgs1)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_system_vio_fn(mesh: Mesh, fcfg: FrontendConfig,
+                           bcfg: BackendConfig, vcfg: VioConfig,
+                           ba_every: int):
+    def body(cams, T_i_cs, fe, ba, vio, corr, i0, i1, ts, acc, gyro,
+             imu_t, imu_valid):
+        return system_chunk_batch_vio(
+            fcfg, bcfg, vcfg, cams, T_i_cs, fe, ba, vio, corr, i0, i1, ts,
+            acc, gyro, imu_t, imu_valid, ba_every=ba_every)
+
+    return jax.jit(jax.shard_map(body, mesh=mesh, in_specs=(P("seq"),) * 13,
+                                 out_specs=P("seq"), check_vma=False))
+
+
+def system_chunk_batch_vio_sharded(mesh: Mesh, fcfg: FrontendConfig,
+                                   bcfg: BackendConfig, vcfg: VioConfig,
+                                   cams, T_i_cs, fe_states, ba_states,
+                                   vio_states, corrs, imgs0, imgs1, ts,
+                                   acc, gyro, imu_t, imu_valid,
+                                   ba_every: int = 1):
+    """system_chunk_batch_vio under shard_map(P('seq')) — see module note."""
+    fn = _sharded_system_vio_fn(mesh, fcfg, bcfg, vcfg, ba_every)
+    return fn(cams, T_i_cs, fe_states, ba_states, vio_states, corrs,
+              imgs0, imgs1, ts, acc, gyro, imu_t, imu_valid)

@@ -83,8 +83,8 @@ def main():
             cam1))
     fe_b, ba_b, corr_b = multihost.init_system_states_global(
         fcfg, bcfg, S, mesh)
-    _, _, _, outs, costs = multiseq.system_chunk_batch(
-        fcfg, bcfg, cams, fe_b, ba_b, corr_b, imgs0, imgs1)
+    _, _, _, outs, costs = multiseq.system_chunk_batch_sharded(
+        mesh, fcfg, bcfg, cams, fe_b, ba_b, corr_b, imgs0, imgs1)
 
     # Dump only this process's addressable sequence shards.
     dump = {}
@@ -115,8 +115,9 @@ def timed_main(nproc: int, pid: int, outdir: str):
                                         orbit_trajectory)
     from flvis_tpu.parallel import multihost, multiseq
 
+    import os
     assert jax.process_count() == nproc
-    S, T = nproc, 8
+    S, T = nproc, int(os.environ.get("FLVIS_TIMED_T", "8"))
     fcfg = FrontendConfig(width=256, height=192, num_slots=64,
                           pyramid_levels=3, per_cell=4, min_distance=10.0,
                           margin=12, lk_radius=7, ransac_hypotheses=32,
@@ -145,19 +146,43 @@ def timed_main(nproc: int, pid: int, outdir: str):
 
     def step():
         nonlocal fe_b, ba_b, corr_b
-        fe_b, ba_b, corr_b, outs, _ = multiseq.system_chunk_batch(
-            fcfg, bcfg, cams, fe_b, ba_b, corr_b, imgs0, imgs1)
+        # shard_map wrapper: zero cross-process collectives (the GSPMD
+        # auto-partitioned program carried 56 all-gathers + 156 all-reduces
+        # that rode gloo every step — see multiseq.py module note).
+        fe_b, ba_b, corr_b, outs, _ = multiseq.system_chunk_batch_sharded(
+            mesh, fcfg, bcfg, cams, fe_b, ba_b, corr_b, imgs0, imgs1)
         return outs
 
-    def barrier(x):
-        # Fetching a value of the GLOBAL output forces every process's
-        # dispatch to complete — the cross-process sync point.
-        np.asarray(multihost.gather_to_host(x.T_c_w.t))
+    from jax.experimental import multihost_utils
 
-    for _ in range(2):                       # compile + steady-state warm
+    def barrier(x):
+        # Fetch this process's ADDRESSABLE shards (forces local completion;
+        # a global fetch of a cross-process array is not possible), then a
+        # cross-process rendezvous so every process leaves together.
+        for sh in x.T_c_w.t.addressable_shards:
+            np.asarray(sh.data)
+        multihost_utils.sync_global_devices("timed-barrier")
+
+    if os.environ.get("FLVIS_TIMED_DEBUG"):
+        print(f"worker {pid} imgs0 sharding: {imgs0.sharding} "
+              f"local shards: {[sh.data.shape for sh in imgs0.addressable_shards]}",
+              flush=True)
+    for _ in range(3):                       # compile + steady-state warm
         outs = step()
     barrier(outs)
-    reps = 4
+    if os.environ.get("FLVIS_TIMED_DEBUG"):
+        print(f"worker {pid} outs sharding: {outs.T_c_w.t.sharding} "
+              f"local: {[sh.data.shape for sh in outs.T_c_w.t.addressable_shards]}",
+              flush=True)
+    reps = int(os.environ.get("FLVIS_TIMED_REPS", "4"))
+    if os.environ.get("FLVIS_TIMED_DEBUG"):
+        for k in range(4):
+            t0 = time.perf_counter()
+            outs = step()
+            for sh in outs.T_c_w.t.addressable_shards:
+                np.asarray(sh.data)
+            print(f"worker {pid} step {k}: "
+                  f"{time.perf_counter() - t0:.3f}s", flush=True)
     t0 = time.perf_counter()
     for _ in range(reps):
         outs = step()
