@@ -38,13 +38,13 @@ class Vocabulary:
     idf: jax.Array          # (V,) inverse document frequency weights
 
 
-def train(descriptors_packed, valid, num_words: int = 1024, iters: int = 8, seed: int = 0):
-    """Batched binary k-means over packed descriptors → Vocabulary.
-
-    Centroids are the majority vote (sign of the mean of ±1 vectors), the
-    binary analogue of k-medians that DBoW3 trains offline."""
+@functools.partial(jax.jit, static_argnames=("num_words", "iters"))
+def _train_kernel(descriptors_packed, seed, num_words: int, iters: int):
+    """The whole k-means as ONE jitted program: the previous eager
+    formulation dispatched every op separately over the remote-TPU tunnel
+    (~27 ms each), costing ~1.9 s per (re)train against ~0.1 s of actual
+    matmul work — it was the single largest item in the loop-event bench."""
     d = orb.unpack_pm1(descriptors_packed)           # (N, 256)
-    d = d[np.asarray(valid)] if hasattr(valid, "shape") else d
     n = d.shape[0]
     key = jax.random.PRNGKey(seed)
     init_idx = jax.random.choice(key, n, (num_words,), replace=n < num_words)
@@ -66,6 +66,25 @@ def train(descriptors_packed, valid, num_words: int = 1024, iters: int = 8, seed
     assign = jnp.argmax(sim, axis=1)
     df = jnp.zeros(num_words).at[assign].add(1.0)
     idf = jnp.log(jnp.maximum(n, 1.0) / jnp.maximum(df, 1.0))
+    return centroids, idf
+
+
+def train(descriptors_packed, valid, num_words: int = 1024, iters: int = 8, seed: int = 0):
+    """Batched binary k-means over packed descriptors → Vocabulary.
+
+    Centroids are the majority vote (sign of the mean of ±1 vectors), the
+    binary analogue of k-medians that DBoW3 trains offline.  The invalid-
+    row filter runs on host (one-time training paths pass ragged sets; the
+    steady refresh passes a FIXED all-valid 8192 sample so the jitted
+    kernel compiles once)."""
+    if hasattr(valid, "shape"):
+        vmask = np.asarray(valid)
+        if not vmask.all():
+            descriptors_packed = jnp.asarray(descriptors_packed)[
+                jnp.asarray(vmask)]
+    centroids, idf = _train_kernel(jnp.asarray(descriptors_packed),
+                                   jnp.asarray(seed, jnp.uint32),
+                                   num_words=num_words, iters=iters)
     return Vocabulary(centroids, idf)
 
 

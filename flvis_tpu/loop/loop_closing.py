@@ -269,6 +269,23 @@ def _verify_device(desc_s, kpv_s, pcv_s, pc_s, uv_s, node_q, node_t, i, j,
     return T_ij.q, T_ij.t, jnp.sum(good), n_inl, dt, dr
 
 
+@functools.partial(jax.jit, static_argnames=("num_hypotheses",))
+def _verify_device_batch(desc_s, kpv_s, pcv_s, pc_s, uv_s, node_q, node_t,
+                         iis, jjs, fx, fy, cx, cy, keys,
+                         ratio, threshold_n, num_hypotheses: int):
+    """8-wide vmapped _verify_device: during a sustained revisit every
+    keyframe passes the candidate gate, and one ~20 ms verification program
+    PER candidate serialized on the device (~0.7 s per event-dense chunk);
+    one vmapped program per 8-candidate bucket amortizes both the dispatch
+    and the device-side matmul setup.  Padding pairs verify (0, 0) and are
+    discarded by the caller."""
+    return jax.vmap(
+        lambda i, j, key: _verify_device.__wrapped__(
+            desc_s, kpv_s, pcv_s, pc_s, uv_s, node_q, node_t, i, j,
+            fx, fy, cx, cy, key, ratio, threshold_n,
+            num_hypotheses=num_hypotheses))(iis, jjs, keys)
+
+
 @functools.partial(jax.jit, static_argnames=("n_pad", "n_succ"))
 def _build_graph(q_odom, t_odom, node_q, node_t, i0, wn,
                  loop_i, loop_j, loop_q, loop_t, loop_valid,
@@ -918,18 +935,35 @@ class LoopCloser:
                 cands.append((cand, k))
         if not cands:
             return []
-        # Dispatch every candidate's verification program asynchronously,
-        # then resolve ALL results in ONE bundled device_get: during a
-        # sustained revisit every keyframe passes the gate, and a per-
-        # candidate fetch paid one ~27 ms tunnel round trip each (31
-        # candidates = ~0.8 s of pure RTT in the event bench).
-        stats_dev = [self._verify_dispatch(i, j) for (i, j) in cands]
+        # Verify candidates in 8-wide vmapped buckets and resolve ALL
+        # results in ONE bundled device_get: during a sustained revisit
+        # every keyframe passes the gate; per-candidate programs paid ~20 ms
+        # of serialized device time each (and, before round 3, one ~27 ms
+        # tunnel fetch each).
+        cfg8 = self.cfg
+        B = 8
+        stats_dev = []
+        for b0 in range(0, len(cands), B):
+            bucket = cands[b0:b0 + B]
+            pairs = bucket + [bucket[-1]] * (B - len(bucket))
+            iis = jnp.asarray([p[0] for p in pairs], jnp.int32)
+            jjs = jnp.asarray([p[1] for p in pairs], jnp.int32)
+            keys = jnp.stack([jax.random.PRNGKey(i * 7919 + j)
+                              for (i, j) in pairs])
+            stats_dev.append(_verify_device_batch(
+                self.kf_desc, self.kf_kp_valid, self.kf_pc_valid,
+                self.kf_pc, self.kf_uv, self.kf_q, self.kf_t, iis, jjs,
+                self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy, keys,
+                cfg8.ratio_max, 3.0 / float(self.cam.fx),
+                num_hypotheses=128))
         stats = jax.device_get(stats_dev)
         out = []
-        for (i, j), vals in zip(cands, stats):
-            lc = self._verify_accept(i, j, vals)
-            if lc is not None:
-                out.append(lc)
+        for b0, block in zip(range(0, len(cands), B), stats):
+            for off, (i, j) in enumerate(cands[b0:b0 + B]):
+                vals = [a[off] for a in block]
+                lc = self._verify_accept(i, j, vals)
+                if lc is not None:
+                    out.append(lc)
         return out
 
     def _detect_sharded(self, k: int) -> Optional[LoopClosure]:
@@ -996,7 +1030,10 @@ class LoopCloser:
         # (‖t‖ < 3 m, ‖log R‖ < 1.5 — vo_loopclosing.cpp:686).
         if float(dt) > cfg.max_trans or float(dr) > cfg.max_rot:
             return None
-        lc = LoopClosure(i, j, n_inl, SE3(jnp.asarray(q_ij), jnp.asarray(t_ij)))
+        # T_ij stays HOST-side numpy: every optimize_graph rebuilds the
+        # loop-edge list with np.asarray(lc.T_ij.*) — device-resident
+        # closures would pay tunnel fetches per edge per event.
+        lc = LoopClosure(i, j, n_inl, SE3(np.asarray(q_ij), np.asarray(t_ij)))
         self.closures.append(lc)
         if self._kf_imgs is not None and len(self._kf_imgs) > max(i, j):
             # Accepted-loop match image (the reference's main human

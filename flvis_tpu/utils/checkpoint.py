@@ -157,9 +157,11 @@ def load_loop_closer(path: str, lc) -> None:
     lc.kf_q = lc.kf_q.at[:n].set(jnp.asarray(d["T_wc_q"]))
     lc.kf_t = lc.kf_t.at[:n].set(jnp.asarray(d["T_wc_t"]))
     lc.closures = [
+        # Host-side numpy, matching the live creation path (loop-edge
+        # rebuilds read these with np.asarray per event).
         LoopClosure(int(r[0]), int(r[1]), int(r[2]),
-                    SE3(jnp.asarray(r[3:7], jnp.float32),
-                        jnp.asarray(r[7:10], jnp.float32)))
+                    SE3(np.asarray(r[3:7], np.float32),
+                        np.asarray(r[7:10], np.float32)))
         for r in d["closures"]
     ]
     lc.T_map_odom = SE3(jnp.asarray(d["T_map_odom_q"]),
