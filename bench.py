@@ -54,8 +54,16 @@ def main():
     scene = PlanarScene(scfg, plane_depth=8.0, seed=0)
     poses = orbit_trajectory(8, step=0.03)
     frames = [scene.render(R, t) for (R, t) in poses]
+
+    # Frames ship as uint8 (what a real camera produces) and widen ON
+    # DEVICE (tracker.track_frame): the f32 stereo pair was 2.8 MB/frame of
+    # host-link transfer — ~1.8 ms of the 6.1 ms frame budget.
+    def u8(a):
+        return np.clip(np.round(np.asarray(a)), 0, 255).astype(np.uint8)
+
     imgs = [
-        (jax.device_put(jnp.asarray(l), dev), jax.device_put(jnp.asarray(r), dev))
+        (jax.device_put(jnp.asarray(u8(l)), dev),
+         jax.device_put(jnp.asarray(u8(r)), dev))
         for (l, r, _) in frames
     ]
 
@@ -180,8 +188,8 @@ def main():
     sys_poses = orbit_trajectory(8, step=0.02)
     sys_frames = [scene.render(R, t) for (R, t) in sys_poses]
     CH = 64
-    si0 = jnp.stack([jnp.asarray(sys_frames[i % 8][0]) for i in range(CH)])
-    si1 = jnp.stack([jnp.asarray(sys_frames[i % 8][1]) for i in range(CH)])
+    si0 = jnp.stack([jnp.asarray(u8(sys_frames[i % 8][0])) for i in range(CH)])
+    si1 = jnp.stack([jnp.asarray(u8(sys_frames[i % 8][1])) for i in range(CH)])
     scfg_sys = SystemConfig(frontend=cfg)
     slam = SlamSystem(scfg_sys, cam)
     for _ in range(2):                       # compile scan + BA + correction
@@ -212,8 +220,8 @@ def main():
         accs.append(acc[sel]); gyros.append(gyro[sel]); imuts.append(t_imu[sel])
         prev = ft
     slam_v = SlamSystem(scfg_sys, cam, use_imu=True)
-    vi0 = jnp.stack([jnp.asarray(f[0]) for f in vio_frames])
-    vi1 = jnp.stack([jnp.asarray(f[1]) for f in vio_frames])
+    vi0 = jnp.stack([jnp.asarray(u8(f[0])) for f in vio_frames])
+    vi1 = jnp.stack([jnp.asarray(u8(f[1])) for f in vio_frames])
 
     def run_vio(rep):
         # Advance all clocks per replay so IMU time stays monotonic across
@@ -311,10 +319,10 @@ def main():
                             np.linspace(0.02 * ev_half, 0.01, ev_n - ev_half)])
     ev_frames = [scene.render(np.eye(3), -np.asarray([x, 0.0, 0.0]))
                  for x in ev_xs]
-    ev_i0 = [jnp.stack([jnp.asarray(ev_frames[c0 + i][0])
+    ev_i0 = [jnp.stack([jnp.asarray(u8(ev_frames[c0 + i][0]))
                         for i in range(EV_CH)])
              for c0 in range(0, ev_n, EV_CH)]
-    ev_i1 = [jnp.stack([jnp.asarray(ev_frames[c0 + i][1])
+    ev_i1 = [jnp.stack([jnp.asarray(u8(ev_frames[c0 + i][1]))
                         for i in range(EV_CH)])
              for c0 in range(0, ev_n, EV_CH)]
 
@@ -341,11 +349,11 @@ def main():
     cams_s = jax.tree.map(
         lambda a: jnp.broadcast_to(jnp.asarray(a),
                                    (S_sys,) + jnp.shape(jnp.asarray(a))), cam)
-    ms_i0 = jnp.stack([jnp.stack([jnp.roll(jnp.asarray(sys_frames[t % 8][0]),
+    ms_i0 = jnp.stack([jnp.stack([jnp.roll(jnp.asarray(u8(sys_frames[t % 8][0])),
                                            7 * s, axis=1)
                                   for t in range(T_sys)])
                        for s in range(S_sys)])
-    ms_i1 = jnp.stack([jnp.stack([jnp.roll(jnp.asarray(sys_frames[t % 8][1]),
+    ms_i1 = jnp.stack([jnp.stack([jnp.roll(jnp.asarray(u8(sys_frames[t % 8][1])),
                                            7 * s, axis=1)
                                   for t in range(T_sys)])
                        for s in range(S_sys)])

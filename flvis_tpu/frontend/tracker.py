@@ -515,6 +515,16 @@ def track_frame(cfg: FrontendConfig, cam: StereoCamera, state: TrackerState,
     if rng_key is None:
         rng_key = jax.random.fold_in(jax.random.PRNGKey(7), state.frame_id)
 
+    # Accept uint8 frames and widen ON DEVICE: real cameras produce uint8,
+    # and shipping f32 over the host link quadruples the transfer — at
+    # EuRoC resolution the per-frame f32 stereo pair (2.8 MB) cost ~1.8 ms
+    # of the 6.1 ms frame budget under the remote tunnel.  Depth-mode img1
+    # (Z16/float depth) is NOT intensity and keeps its dtype.
+    if img0.dtype != jnp.float32:
+        img0 = img0.astype(jnp.float32)
+    if not cfg.depth_mode and img1.dtype != jnp.float32:
+        img1 = img1.astype(jnp.float32)
+
     # Gradient pyramids for the PREVIOUS left image (temporal LK template),
     # the current left image and the current right image are built in ONE
     # stacked (3, H, W) pass: sequential per-op dispatch latency, not FLOPs,

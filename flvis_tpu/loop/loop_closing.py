@@ -59,6 +59,12 @@ def _ingest_body(img_l, img_r, cam: StereoCamera, num_features: int,
     In depth mode img_r is an aligned depth image (Z16 / depth_factor) and
     the lookup replaces the sweep.  Returns (uv, desc, kp_valid, p_c,
     pc_valid)."""
+    # uint8 frames widen on device (see tracker.track_frame — the chunk
+    # image stacks are shipped uint8 to quarter the host-link transfer).
+    if img_l.dtype != jnp.float32:
+        img_l = img_l.astype(jnp.float32)
+    if not depth_mode and img_r.dtype != jnp.float32:
+        img_r = img_r.astype(jnp.float32)
     uv, desc, kp_valid, _ = orb.detect_and_compute(
         img_l, num_features=num_features)
     if depth_mode:
