@@ -65,6 +65,7 @@ def track_frame_batch(cfg: FrontendConfig, cams: StereoCamera, states, imgs0, im
     Under a mesh, the leading axis is sharded over `seq`, so each device
     advances its own sequences; there are no collectives in this program.
     """
+    cfg = _batched_fcfg(cfg)
     step = lambda cam, st, i0, i1, k: tracker.track_frame(
         cfg, cam, st, i0, i1, rng_key=k
     )
@@ -98,6 +99,7 @@ def track_frames_scan_batch(cfg: FrontendConfig, cams: StereoCamera,
       imgs0/imgs1: (S, T, H, W) stacked frames per sequence.
     Returns: (states, FrameOutput with leading (S, T) axes).
     """
+    cfg = _batched_fcfg(cfg)
     xs = (jnp.swapaxes(imgs0, 0, 1), jnp.swapaxes(imgs1, 0, 1))  # (T, S, H, W)
 
     def step(sts, x):
@@ -128,6 +130,16 @@ def _batched_bcfg(bcfg: BackendConfig) -> BackendConfig:
     # The fused Pallas Schur kernel is written for one window; route the
     # vmapped windows through the XLA step.
     return dataclasses.replace(bcfg, pallas_schur=False)
+
+
+def _batched_fcfg(fcfg: FrontendConfig) -> FrontendConfig:
+    # Under vmap the PnP-rescue lax.cond lowers to select, so EVERY frame of
+    # EVERY sequence pays the full 128-hypothesis RANSAC the rescue only
+    # needs on inlier starvation (config.py pnp_fallback note) — disable it
+    # for batched runs; a starved sequence then escapes/recovers through
+    # the two-strike path like the reference does without its
+    # solvePnPRansac fallback.
+    return dataclasses.replace(fcfg, pnp_fallback=False)
 
 
 def init_system_states(fcfg: FrontendConfig, bcfg: BackendConfig,
@@ -177,6 +189,7 @@ def system_chunk_batch(fcfg: FrontendConfig, bcfg: BackendConfig, cams,
     Returns: (fe_states, ba_states, corrs, FrameOutput (S, T, ...),
       ba costs (S, T); with ba_every>1 cost rows are 0 on non-BA frames).
     """
+    fcfg = _batched_fcfg(fcfg)
     bcfg = _batched_bcfg(bcfg)
     null = window_ba.null_correction(bcfg)
     xs = (jnp.swapaxes(imgs0, 0, 1), jnp.swapaxes(imgs1, 0, 1))
@@ -263,6 +276,7 @@ def system_chunk_batch_vio(fcfg: FrontendConfig, bcfg: BackendConfig,
     sequence; N>1 runs the solve once per N frames as a REAL branch with
     corrections ≤N frames late — the reference's async-feedback contract).
     """
+    fcfg = _batched_fcfg(fcfg)
     bcfg = _batched_bcfg(bcfg)
     null = window_ba.null_correction(bcfg)
     sw = lambda a: jnp.swapaxes(a, 0, 1)
