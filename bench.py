@@ -335,9 +335,12 @@ def main():
         return s
 
     run_event_seq()                       # compile pass (incl. event shapes)
-    t0 = time.perf_counter()
-    s_ev = run_event_seq()
-    system_loop_event_fps = ev_n / (time.perf_counter() - t0)
+    ev_times = []
+    for _ in range(2):                    # min-of-2: a single 3.5 s pass is
+        t0 = time.perf_counter()          # exposed to transient tunnel
+        s_ev = run_event_seq()            # stalls (observed 2x swings)
+        ev_times.append(time.perf_counter() - t0)
+    system_loop_event_fps = ev_n / min(ev_times)
     n_event_closures = len(s_ev.loop_closer.closures)
 
     # --- full-SYSTEM multi-sequence DP (8 sequences, one chip) ---------------
