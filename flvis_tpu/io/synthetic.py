@@ -424,6 +424,39 @@ def degrade_frame(img_l: np.ndarray, img_r: np.ndarray, frame_idx: int,
             np.clip(ir, 0, 255).astype(np.float32))
 
 
+def periodic_trajectory(num_frames: int, amp: float = None,
+                        amp_y: float = 0.08, amp_z: float = 0.04,
+                        yaw_amp: float = 0.02):
+    """A CLOSED sinusoidal camera path with period exactly `num_frames`:
+    position, velocity, and acceleration are all continuous across the
+    replay wrap, so benches that stream the same chunk repeatedly see a
+    smooth infinite trajectory instead of a teleport at every wrap.
+
+    The open `orbit_trajectory` wraps with a >1 m position jump per replay,
+    which drives the tracker through escaped-frame recovery and a keyframe
+    storm (~41-51 keyframes per 64-frame chunk measured, vs ~22 on the
+    contiguous portion) — a harness artifact no real sequence has, and one
+    that doubles the benched BA + loop-ingest cost.  The default `amp`
+    scales with the period so mean speed matches orbit_trajectory's
+    0.02 m/frame default (mean |dx/di| = amp·(2π/N)·(2/π) = 4·amp/N).
+    """
+    if amp is None:
+        amp = 0.005 * num_frames
+    poses = []
+    w = 2 * np.pi / num_frames
+    for i in range(num_frames):
+        yaw = yaw_amp * np.sin(w * i)
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        R_w_c = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+        C = np.array([amp * np.sin(w * i),
+                      amp_y * np.sin(2 * w * i + 0.7),
+                      amp_z * np.sin(w * i + 1.3)])
+        R = R_w_c.T
+        t = -R @ C
+        poses.append((R, t))
+    return poses
+
+
 def orbit_trajectory(num_frames: int, radius: float = 0.5, step: float = 0.02,
                      yaw_rate: float = 0.002):
     """A gently translating + yawing camera path (list of (R, t) world→cam).

@@ -182,7 +182,6 @@ def _lm_outer_loop(linearize, solve, total_cost, nodes0: SE3, lam0: float,
         better = new_cost < cost
         nodes = jax.tree.map(
             lambda a, b_: jnp.where(better, b_, a), nodes, new_nodes)
-        lin = jax.lax.cond(better, linearize, lambda _n: lin, nodes)
         lam = jnp.where(better, jnp.maximum(lam * 0.3, 1e-8),
                         jnp.minimum(lam * 6.0, 1e4))
         rej = jnp.where(better, 0, rej + 1)
@@ -190,6 +189,12 @@ def _lm_outer_loop(linearize, solve, total_cost, nodes0: SE3, lam0: float,
         done = (better & (cost - new_cost < 1e-4 * cost)) | (
             (rej >= 2) & (acc_any | (lam >= 1e4))) | (
             better & (dx_inf < 5e-3))
+        # Refresh the linearization only for accepted steps the loop will
+        # actually continue from: the final accepted step's jacobians+
+        # assembly (~60% of an iteration) would be computed and immediately
+        # discarded by the exit.
+        lin = jax.lax.cond(better & ~done & (it + 1 < iters),
+                           linearize, lambda _n: lin, nodes)
         cost = jnp.where(better, new_cost, cost)
         return it + 1, nodes, lin, lam, cost, rej, acc_any, done
 

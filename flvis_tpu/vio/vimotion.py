@@ -57,6 +57,13 @@ class VioState:
     init_acc_sum: jax.Array   # (3,) gravity-direction accumulator
     init_gyro_sum: jax.Array  # (3,)
     init_count: jax.Array     # i32
+    # Previous ACCEPTED vision pose (T_w_i) + its image time — the reference
+    # passes (t_last, Tcw_last) into every viCorrectionFromVision call
+    # (vi_motion.cpp:212-216); carrying it here keeps the one-argument call
+    # sites.  last_vis_t < 0 means "no prior vision lock yet".
+    last_vis_t: jax.Array     # scalar
+    last_vis_q: jax.Array     # (4,) q_w_i of the last vision pose
+    last_vis_p: jax.Array     # (3,)
 
 
 def init_state(cfg: VioConfig, dtype=jnp.float32) -> VioState:
@@ -71,6 +78,9 @@ def init_state(cfg: VioConfig, dtype=jnp.float32) -> VioState:
         initialized=jnp.asarray(False),
         init_acc_sum=jnp.zeros(3, dtype), init_gyro_sum=jnp.zeros(3, dtype),
         init_count=jnp.asarray(0, jnp.int32),
+        last_vis_t=jnp.asarray(-1.0, dtype),
+        last_vis_q=jnp.asarray([1.0, 0, 0, 0], dtype),
+        last_vis_p=jnp.zeros(3, dtype),
     )
 
 
@@ -356,37 +366,79 @@ def correction_from_vision(cfg: VioConfig, state: VioState, t_img, T_c_w_vision:
     """Feedback: correct the IMU state history from a vision pose and update
     bias estimates (viCorrectionFromVision, vi_motion.cpp:212-342).
 
-    - The IMU state at the image time is snapped to the vision pose.
-    - All newer states are rebased by the same correction transform
-      (vi_motion.cpp:275-282).
-    - Gyro/accel biases are nudged by the orientation/position innovation
-      with per-axis saturation and IIR smoothing (gains para_3/para_4,
-      saturations bw_sat/ba_sat; NaN-guarded as in vi_motion.cpp:297-315).
+    Reference semantics (A/B = vision poses at the last/current image, a/b =
+    the ring states at those times):
+    - Gyro-bias estimate: the quaternion xyz of Q_B_A·Q_b_a⁻¹ divided by dt
+      — the per-second attitude drift of the IMU relative to vision over
+      one frame interval (vi_motion.cpp:248-256).
+    - Accel-bias estimate: −R(q_mid)ᵀ(v_vision − v̄_imu)/dt, where v_vision
+      is the finite-difference vision velocity over the interval and v̄_imu
+      the MEAN ring velocity across it (vi_motion.cpp:262-275).
+    - Biases move by an IIR toward the instantaneous estimate —
+      b ← (1−para_3)·b + gain·est — NOT by integrating the innovation: an
+      integrator walks to its saturation on any systematic innovation (the
+      pre-2026-08-21 implementation did exactly that; measured bias_acc
+      climbing 0.1/rep to ba_sat while the ring velocity diverged 1.6→8 m/s
+      on a 0.6 m/s trajectory, tools/profile_vio_loop_delta).  Norm-clipped
+      at ba_sat/bw_sat, NaN-guarded, skipped when dt ≥ 0.1 s
+      (vi_motion.cpp:297-331).
+    - Rebase: every state at/after the image time maps through
+      T_diff = T_w_iB·T_w_ib⁻¹, and its VELOCITY gains the world-frame
+      innovation diff_vel (vi_motion.cpp:277-284) — without the velocity
+      term the accel-integration error is never corrected and compounds
+      without bound.
+    The previous vision pose rides inside VioState (last_vis_*); the first
+    call after init snaps the pose chain but skips the velocity/bias terms.
     """
-    i = find_state_idx(state, t_img)
+    eps = jnp.asarray(1e-6, state.t.dtype)
+    i_b = find_state_idx(state, t_img)
     T_w_c = se3m.inverse(T_c_w_vision)
-    T_w_i_vis = se3m.compose(T_w_c, se3m.inverse(T_i_c))
+    T_w_iB = se3m.compose(T_w_c, se3m.inverse(T_i_c))
 
-    q_err = so3.mul(so3.conj(state.q[i]), T_w_i_vis.q)   # imu-frame attitude error
-    rot_err = so3.log(so3.normalize(q_err))
-    pos_err = T_w_i_vis.t - state.pos[i]
+    t_last = state.last_vis_t
+    i_a = find_state_idx(state, t_last)
+    dt = t_img - t_last
+    have_last = (t_last >= 0) & (i_a != i_b) & (dt > eps)
 
-    # Bias feedback with saturation + IIR.
-    dbg = jnp.clip(-rot_err * cfg.gyro_bias_gain, -cfg.gyro_bias_sat, cfg.gyro_bias_sat)
-    acc_err_i = so3.rotate(so3.conj(state.q[i]), pos_err)
-    dba = jnp.clip(-acc_err_i * cfg.acc_bias_gain, -cfg.acc_bias_sat, cfg.acc_bias_sat)
-    bias_gyro = state.bias_gyro + jnp.where(jnp.isfinite(dbg), dbg, 0.0)
-    bias_acc = state.bias_acc + jnp.where(jnp.isfinite(dba), dba, 0.0)
-    bias_gyro = jnp.clip(bias_gyro, -cfg.gyro_bias_sat, cfg.gyro_bias_sat)
-    bias_acc = jnp.clip(bias_acc, -cfg.acc_bias_sat, cfg.acc_bias_sat)
+    # --- innovation terms (vision vs IMU over the frame interval) ---------
+    q_BA = so3.mul(so3.conj(T_w_iB.q), state.last_vis_q)
+    q_ba = so3.mul(so3.conj(state.q[i_b]), state.q[i_a])
+    q_Bb = so3.normalize(so3.mul(q_BA, so3.conj(q_ba)))
+    dt_safe = jnp.where(have_last, dt, 1.0)
+    gyro_est = q_Bb[1:4] / dt_safe
+
+    in_win = (state.t >= t_last) & (state.t <= t_img) & (state.t >= 0)
+    n_win = jnp.maximum(jnp.sum(in_win), 1)
+    vel_imu = jnp.sum(jnp.where(in_win[:, None], state.vel, 0.0), axis=0) / n_win
+    vel_vis = (T_w_iB.t - state.last_vis_p) / dt_safe
+    diff_vel = jnp.where(have_last, vel_vis - vel_imu, 0.0)   # world frame
+    i_m = find_state_idx(state, 0.5 * (t_last + t_img))
+    acc_est = -so3.rotate(so3.conj(state.q[i_m]), diff_vel) / dt_safe
+
+    # --- bias IIR toward the estimates, norm-saturated, dt-gated ----------
+    def sat(v, cap):
+        n = jnp.linalg.norm(v)
+        return v * jnp.minimum(1.0, cap / jnp.maximum(n, eps))
+
+    acc_est = jnp.where(jnp.all(jnp.isfinite(acc_est)),
+                        sat(acc_est, cfg.acc_bias_sat), 0.0)
+    gyro_est = jnp.where(jnp.all(jnp.isfinite(gyro_est)),
+                         sat(gyro_est, cfg.gyro_bias_sat), 0.0)
+    upd = have_last & (dt < 0.1)
+    p3, p4 = cfg.acc_bias_gain, cfg.gyro_bias_gain
+    bias_acc = jnp.where(upd, (1.0 - p3) * state.bias_acc + p3 * acc_est,
+                         state.bias_acc)
+    bias_gyro = jnp.where(upd, (1.0 - p3) * state.bias_gyro + p4 * gyro_est,
+                          state.bias_gyro)
 
     # Rebase every state at or after t_img: x ← Δ ∘ x with Δ the world-frame
-    # correction that maps the old pose at i onto the vision pose.
-    newer = (state.t >= state.t[i]) & (state.t >= 0)
-    dq = so3.mul(T_w_i_vis.q, so3.conj(state.q[i]))
+    # correction that maps the old pose at i_b onto the vision pose, and the
+    # velocity innovation added (vi_motion.cpp:277-284).
+    newer = (state.t >= state.t[i_b]) & (state.t >= 0)
+    dq = so3.mul(T_w_iB.q, so3.conj(state.q[i_b]))
     q_new = so3.normalize(so3.mul(dq[None, :], state.q))
-    pos_new = so3.rotate(dq[None, :], state.pos - state.pos[i][None, :]) + T_w_i_vis.t[None, :]
-    vel_new = so3.rotate(dq[None, :], state.vel)
+    pos_new = so3.rotate(dq[None, :], state.pos - state.pos[i_b][None, :]) + T_w_iB.t[None, :]
+    vel_new = state.vel + diff_vel[None, :]
 
     return dataclasses.replace(
         state,
@@ -394,4 +446,6 @@ def correction_from_vision(cfg: VioConfig, state: VioState, t_img, T_c_w_vision:
         pos=jnp.where(newer[:, None], pos_new, state.pos),
         vel=jnp.where(newer[:, None], vel_new, state.vel),
         bias_acc=bias_acc, bias_gyro=bias_gyro,
+        last_vis_t=jnp.asarray(t_img, state.t.dtype),
+        last_vis_q=T_w_iB.q, last_vis_p=T_w_iB.t,
     )
