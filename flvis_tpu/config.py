@@ -156,6 +156,11 @@ class LoopConfig:
     max_trans: float = 3.0              # ‖t‖ accept gate (vo_loopclosing.cpp:686)
     max_rot: float = 1.5                # ‖log R‖ accept gate
     pgo_iters: int = 100                # optimize(100)
+    # Geometric-verification RANSAC budget: the reference hardcodes
+    # iterationsCount=100 in its solvePnPRansac call
+    # (vo_loopclosing.cpp:670); here the P3P hypotheses are batched and
+    # scored in one device program, so the budget is a hypothesis count.
+    ransac_hypotheses: int = 128
     seq_edge_successors: int = 5        # sequential edges to 5 successors
     # In-run vocabulary refresh: a vocabulary trained on the first 8
     # keyframes biases words to the opening scene; once this many keyframes

@@ -961,7 +961,7 @@ class LoopCloser:
                 self.kf_pc, self.kf_uv, self.kf_q, self.kf_t, iis, jjs,
                 self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy, keys,
                 cfg8.ratio_max, 3.0 / float(self.cam.fx),
-                num_hypotheses=128))
+                num_hypotheses=cfg8.ransac_hypotheses))
         stats = jax.device_get(stats_dev)
         out = []
         for b0, block in zip(range(0, len(cands), B), stats):
@@ -1020,7 +1020,8 @@ class LoopCloser:
             jnp.asarray(i, jnp.int32), jnp.asarray(j, jnp.int32),
             self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
             jax.random.PRNGKey(i * 7919 + j),
-            cfg.ratio_max, 3.0 / float(self.cam.fx), num_hypotheses=128,
+            cfg.ratio_max, 3.0 / float(self.cam.fx),
+            num_hypotheses=cfg.ransac_hypotheses,
         )
 
     def _verify_accept(self, i: int, j: int, stats) -> Optional[LoopClosure]:

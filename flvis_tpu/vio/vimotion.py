@@ -398,7 +398,14 @@ def correction_from_vision(cfg: VioConfig, state: VioState, t_img, T_c_w_vision:
     t_last = state.last_vis_t
     i_a = find_state_idx(state, t_last)
     dt = t_img - t_last
-    have_last = (t_last >= 0) & (i_a != i_b) & (dt > eps)
+    # `has_last_state`: the ring must still hold an entry at/before t_last
+    # (the reference gates the whole correction on viFindStateIdx(t_last)
+    # succeeding, vi_motion.cpp:229-238).  After a tracking gap long enough
+    # to evict t_last, find_state_idx's masked argmin returns an arbitrary
+    # slot and the innovation window would span inconsistent states —
+    # mirror get_frame_state's has_past guard instead.
+    has_last_state = jnp.any((state.t >= 0) & (state.t <= t_last))
+    have_last = (t_last >= 0) & has_last_state & (i_a != i_b) & (dt > eps)
 
     # --- innovation terms (vision vs IMU over the frame interval) ---------
     q_BA = so3.mul(so3.conj(T_w_iB.q), state.last_vis_q)
@@ -412,6 +419,10 @@ def correction_from_vision(cfg: VioConfig, state: VioState, t_img, T_c_w_vision:
     vel_imu = jnp.sum(jnp.where(in_win[:, None], state.vel, 0.0), axis=0) / n_win
     vel_vis = (T_w_iB.t - state.last_vis_p) / dt_safe
     diff_vel = jnp.where(have_last, vel_vis - vel_imu, 0.0)   # world frame
+    # Mid state by TIMESTAMP midpoint; the reference picks the INDEX
+    # midpoint idx_last+floor((idx_curr-idx_last)/2) (vi_motion.cpp:265).
+    # These diverge only when IMU samples are non-uniform inside one frame
+    # interval — negligible at the fixed-rate streams this consumes.
     i_m = find_state_idx(state, 0.5 * (t_last + t_img))
     acc_est = -so3.rotate(so3.conj(state.q[i_m]), diff_vel) / dt_safe
 
@@ -428,6 +439,10 @@ def correction_from_vision(cfg: VioConfig, state: VioState, t_img, T_c_w_vision:
     p3, p4 = cfg.acc_bias_gain, cfg.gyro_bias_gain
     bias_acc = jnp.where(upd, (1.0 - p3) * state.bias_acc + p3 * acc_est,
                          state.bias_acc)
+    # INTENTIONAL asymmetry (reference parity): the gyro IIR decays by
+    # (1-para_3) but gains by para_4 (vi_motion.cpp:330), so with p3 != p4
+    # from YAML the gyro-bias steady state scales by p4/p3.  Not a typo
+    # here — changing it would diverge from the reference's tuning.
     bias_gyro = jnp.where(upd, (1.0 - p3) * state.bias_gyro + p4 * gyro_est,
                           state.bias_gyro)
 

@@ -126,6 +126,79 @@ class TestFeedforwardFeedback:
         i = int((st2.head - 1) % CFG.imu_capacity)
         np.testing.assert_allclose(st2.pos[i], [1.0, 0, 0], atol=0.02)
 
+    def test_second_correction_updates_biases_and_velocity(self):
+        """The inter-frame path (second correction with last_vis_* set):
+        the bias IIR must move toward the analytic estimates and every
+        rebased state's velocity must gain diff_vel (vi_motion.cpp:248-331).
+
+        Setup: static IMU at identity; first correction snaps the chain to
+        identity at t1; second correction at t2 = t1 + 0.05 s reports the
+        IMU displaced by dx along x and yawed by theta — so vel_vis =
+        dx/dt (IMU velocity ~0), acc_est = -vel_vis/dt (identity
+        attitude), and gyro_est = q_Bb.xyz/dt ~ [0, 0, -theta/2]/dt (the
+        reference's quaternion-xyz-over-dt drift rate)."""
+        st, t0 = self._init()
+        acc, gyro, t = static_samples(30, t0=t0)
+        st = vimotion.imu_feed_batch(CFG, st, acc, gyro, t)
+        t1 = t0 + 0.05
+        ident = se3.identity()
+        st = vimotion.correction_from_vision(
+            CFG, st, jnp.asarray(t1), ident, ident)  # first call: snap only
+        assert np.allclose(np.asarray(st.bias_acc), 0.0, atol=1e-6)
+
+        dt, dx, theta = 0.05, 0.0005, 0.002
+        t2 = t1 + dt
+        T_w_i = se3.SE3(so3.from_euler_zyx(jnp.asarray([0.0, 0.0, theta])),
+                        jnp.asarray([dx, 0.0, 0.0]))
+        vel_before = np.asarray(st.vel)     # donated below — snapshot first
+        st2 = vimotion.correction_from_vision(
+            CFG, st, jnp.asarray(t2), se3.inverse(T_w_i), ident)
+
+        p3, p4 = CFG.acc_bias_gain, CFG.gyro_bias_gain
+        diff_vel = dx / dt                      # vel_vis - vel_imu (~0)
+        acc_est = -diff_vel / dt
+        gyro_est_z = -(theta / 2.0) / dt
+        np.testing.assert_allclose(
+            np.asarray(st2.bias_acc), [p3 * acc_est, 0, 0],
+            atol=0.25 * abs(p3 * acc_est))
+        np.testing.assert_allclose(
+            float(st2.bias_gyro[2]), p4 * gyro_est_z,
+            atol=0.25 * abs(p4 * gyro_est_z))
+        # Rebased states gain the velocity innovation (world frame).
+        i = int((st2.head - 1) % CFG.imu_capacity)
+        dv = np.asarray(st2.vel[i]) - vel_before[i]
+        np.testing.assert_allclose(dv, [diff_vel, 0, 0],
+                                   atol=0.25 * diff_vel)
+
+    def test_correction_skips_innovation_when_last_state_evicted(self):
+        """If the ring no longer holds any state at/before last_vis_t, the
+        correction must take the snap-only path (no velocity innovation, no
+        bias update) — the reference gates on viFindStateIdx(t_last)
+        succeeding (vi_motion.cpp:229-238)."""
+        cfg = VioConfig(imu_capacity=64, init_samples=20)
+        st = vimotion.init_state(cfg)
+        acc, gyro, t = static_samples(30)
+        st = vimotion.imu_feed_batch(cfg, st, acc, gyro, t)
+        t0 = float(t[-1])
+        ident = se3.identity()
+        st = vimotion.correction_from_vision(
+            cfg, st, jnp.asarray(t0), ident, ident)
+        # Evict everything at/before t0 from the 64-slot ring.
+        acc, gyro, t = static_samples(80, t0=t0 + 10.0)
+        st = vimotion.imu_feed_batch(cfg, st, acc, gyro, t)
+        assert not bool(jnp.any((st.t >= 0) & (st.t <= t0)))
+        t2 = float(t[-1])
+        T_w_i = se3.SE3(so3.identity(), jnp.asarray([0.5, 0.0, 0.0]))
+        vel_before = np.asarray(st.vel)     # donated below — snapshot first
+        st2 = vimotion.correction_from_vision(
+            cfg, st, jnp.asarray(t2), se3.inverse(T_w_i), ident)
+        # Snap happened, but biases untouched and no velocity innovation.
+        i = int((st2.head - 1) % cfg.imu_capacity)
+        np.testing.assert_allclose(st2.pos[i], [0.5, 0, 0], atol=0.02)
+        np.testing.assert_allclose(np.asarray(st2.bias_acc), 0.0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(st2.vel[i]),
+                                   vel_before[i], atol=1e-4)
+
     def test_rp_compensation_blends(self):
         qv = so3.from_euler_zyx(jnp.asarray([0.1, 0.0, 0.7]))
         qi = so3.from_euler_zyx(jnp.asarray([0.0, 0.2, 0.3]))
