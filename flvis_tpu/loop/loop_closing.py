@@ -927,11 +927,24 @@ class LoopCloser:
         """Resolve a gate_candidates handle: host accept decisions + (rare)
         geometric verification.  rows_np: optionally the pre-fetched gate
         rows (from a bundled device_get); fetched here otherwise."""
+        return self.resolve_verify(self.dispatch_verify(pending, rows_np))
+
+    def dispatch_verify(self, pending, rows_np=None):
+        """Resolve a gate_candidates handle's HOST decisions and dispatch
+        geometric verification WITHOUT fetching its statistics — the async
+        half of decide_loops.  The pipelined runner resolves the returned
+        handle one chunk later, bundling the stats fetch into the next
+        chunk's packed device_get, so verification never stalls the frame
+        path (the reference's free-running search thread lags ingest the
+        same way, vo_loopclosing.cpp:393-518).  Returns None (nothing to
+        verify), ("done", closures) when the mesh-sharded path resolved
+        synchronously, or ("verify", cands, stats_dev)."""
         if pending is None:
-            return []
+            return None
         if pending[0] == "sync":
-            return [lc for k in pending[1]
-                    for lc in (self._detect_sharded(k),) if lc is not None]
+            out = [lc for k in pending[1]
+                   for lc in (self._detect_sharded(k),) if lc is not None]
+            return ("done", out)
         _, ks, los, his, rows_dev = pending
         rows = np.asarray(rows_dev) if rows_np is None else rows_np
         cands = []
@@ -940,12 +953,12 @@ class LoopCloser:
             if cand is not None:
                 cands.append((cand, k))
         if not cands:
-            return []
-        # Verify candidates in 8-wide vmapped buckets and resolve ALL
-        # results in ONE bundled device_get: during a sustained revisit
-        # every keyframe passes the gate; per-candidate programs paid ~20 ms
-        # of serialized device time each (and, before round 3, one ~27 ms
-        # tunnel fetch each).
+            return None
+        # Verify candidates in 8-wide vmapped buckets; ALL buckets' results
+        # resolve in ONE bundled device_get later: during a sustained
+        # revisit every keyframe passes the gate; per-candidate programs
+        # paid ~20 ms of serialized device time each (and, before round 3,
+        # one ~27 ms tunnel fetch each).
         cfg8 = self.cfg
         B = 8
         stats_dev = []
@@ -962,7 +975,27 @@ class LoopCloser:
                 self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy, keys,
                 cfg8.ratio_max, 3.0 / float(self.cam.fx),
                 num_hypotheses=cfg8.ransac_hypotheses))
-        stats = jax.device_get(stats_dev)
+        return ("verify", cands, stats_dev)
+
+    def pending_verify_arrays(self, handle):
+        """The device arrays inside a dispatch_verify handle (None if no
+        fetch is needed) — lets callers bundle the stats transfer into an
+        existing jax.device_get."""
+        return handle[2] if handle is not None and handle[0] == "verify" \
+            else None
+
+    def resolve_verify(self, handle, stats=None) -> list:
+        """Resolve a dispatch_verify handle: fetch (or take the bundled)
+        verification statistics and run the host accept gates.  Returns the
+        accepted LoopClosures (also appended to self.closures)."""
+        if handle is None:
+            return []
+        if handle[0] == "done":
+            return handle[1]
+        _, cands, stats_dev = handle
+        if stats is None:
+            stats = jax.device_get(stats_dev)
+        B = 8
         out = []
         for b0, block in zip(range(0, len(cands), B), stats):
             for off, (i, j) in enumerate(cands[b0:b0 + B]):

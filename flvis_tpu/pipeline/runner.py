@@ -246,7 +246,7 @@ class SlamSystem:
     def __init__(self, cfg: SystemConfig, cam: StereoCamera,
                  T_i_c: Optional[SE3] = None, use_imu: bool = False,
                  use_loop: bool = False, output_sparse_map: bool = False,
-                 loop_device=None):
+                 loop_device=None, pipelined: bool = False):
         self.cfg = cfg
         self.cam = cam
         self.use_imu = use_imu
@@ -261,6 +261,17 @@ class SlamSystem:
         self.ba_costs: list = []
         self.loop_closer = None
         self._pending_gate = None   # deferred loop-gate handle (chunk replay)
+        self._pending_verify = None  # deferred verification handle
+        # Software-pipelined chunk replay (double-buffering): process_frames
+        # dispatches chunk N+1's fused program BEFORE resolving chunk N's
+        # packed fetch, so every host round trip and all loop-node host
+        # bookkeeping overlap the device's execution of the next chunk —
+        # the single-chip equivalent of the reference's concurrently running
+        # nodelets (tracking thread vo_tracking.cpp:396-482; free-running
+        # loop threads vo_loopclosing.cpp:181-518).  Results then return one
+        # chunk late; call flush() after the last chunk.
+        self.pipelined = pipelined
+        self._inflight = None
         if use_loop:
             from ..loop.loop_closing import LoopCloser
 
@@ -400,7 +411,7 @@ class SlamSystem:
         self.fe_state, self.ba_state, self.pending_corr, ys = _chunk_fused(
             cfg.frontend, cfg.backend, self.cam,
             self.fe_state, self.ba_state, corr0, imgs0, imgs1)
-        return self._finish_chunk(ys, imgs0, imgs1, ts, T)
+        return self._after_dispatch(ys, imgs0, imgs1, ts, T)
 
     def process_frames_vio(self, imgs0, imgs1, ts, imu_acc, imu_gyro, imu_t,
                            imu_pad: int = 16):
@@ -444,33 +455,64 @@ class SlamSystem:
             imgs0, imgs1, jnp.asarray(np.asarray(ts, np.float32)),
             jnp.asarray(acc), jnp.asarray(gyro), jnp.asarray(it),
             jnp.asarray(iv))
-        return self._finish_chunk(ys, imgs0, imgs1, ts, T)
+        return self._after_dispatch(ys, imgs0, imgs1, ts, T)
 
-    def _finish_chunk(self, ys, imgs0, imgs1, ts, T):
+    def _after_dispatch(self, ys, imgs0, imgs1, ts, T):
+        """Route a freshly dispatched chunk: synchronous mode finishes it
+        now; pipelined mode stashes it in flight and finishes the PREVIOUS
+        chunk instead (whose device work has already completed underneath
+        the just-dispatched program), returning that chunk's outputs — or
+        None on the very first call.
+
+        The packed-output program is dispatched HERE, not at finish time:
+        on the serial device queue it must precede the next chunk's fused
+        program or the finish-time fetch would wait out chunk N+1 too."""
+        outs, pkts, corrs, costs = ys
+        packed_dev = _pack_outputs(outs, costs, corrs.valid)
+        if not self.pipelined:
+            return self._finish_chunk(packed_dev, ys, imgs0, imgs1, ts, T)
+        prev = self._inflight
+        self._inflight = (packed_dev, ys, imgs0, imgs1, ts, T)
+        return self._finish_chunk(*prev) if prev is not None else None
+
+    def _finish_chunk(self, packed_dev, ys, imgs0, imgs1, ts, T):
         """Host bookkeeping after a fused chunk program: ONE packed device
         fetch, then keyframe/trajectory/loop-closing handling.
 
-        The loop node's candidate-gate rows are resolved ONE CHUNK LATE:
-        chunk N dispatches its gate program asynchronously and chunk N+1
-        bundles the (M, 4) row fetch into its own packed-output device_get,
-        so the steady-state loop path costs zero extra round trips (the
-        reference's search thread lags ingest the same way).  Call
-        flush_loop() after the last chunk to resolve the final batch."""
+        The loop node's candidate-gate rows AND verification statistics are
+        resolved ONE CHUNK LATE each: chunk N dispatches its gate program
+        asynchronously; chunk N+1's finish bundles the (M, 4) row fetch
+        into its own packed-output device_get, makes the host gate decision
+        and dispatches verification; chunk N+2's finish bundles the stats
+        fetch the same way and runs the accept gates + (dispatch-only) PGO.
+        The steady-state loop path therefore costs zero extra host round
+        trips and never blocks the frame path (the reference's free-running
+        search + pgo threads lag ingest the same way, vo_loopclosing.cpp:
+        393-518).  Call flush_loop() after the last chunk to resolve the
+        final batches."""
         outs, pkts, corrs, costs = ys
-        packed_dev = _pack_outputs(outs, costs, corrs.valid)
-        prev_gate = getattr(self, "_pending_gate", None)
+        prev_gate = self._pending_gate
+        prev_verify = self._pending_verify
         prev_rows = None
         lc = self.loop_closer
         pending_dev = lc.pending_rows(prev_gate) if lc is not None else None
-        if pending_dev is not None:
-            packed, prev_rows = jax.device_get((packed_dev, pending_dev))
-            packed = np.asarray(packed)
-        else:
-            packed = np.asarray(packed_dev)
+        verify_dev = (lc.pending_verify_arrays(prev_verify)
+                      if lc is not None else None)
+        fetched = jax.device_get((packed_dev, pending_dev, verify_dev))
+        packed, prev_rows, verify_stats = fetched
+        packed = np.asarray(packed)
+        if lc is not None and prev_verify is not None:
+            self._pending_verify = None
+            if lc.resolve_verify(prev_verify, verify_stats):
+                lc.optimize_graph()          # dispatch-only: no fetch inside
         if lc is not None and prev_gate is not None:
             self._pending_gate = None
-            if lc.decide_loops(prev_gate, prev_rows):
-                lc.optimize_graph()
+            handle = lc.dispatch_verify(prev_gate, prev_rows)
+            if handle is not None and handle[0] == "done":
+                if handle[1]:
+                    lc.optimize_graph()      # mesh-sharded sync path
+            else:
+                self._pending_verify = handle
         outs_np = _unpack_outputs(packed)
         first_fid = self._frames_processed
         self._frames_processed += T
@@ -505,13 +547,31 @@ class SlamSystem:
         return outs_np
 
     def flush_loop(self):
-        """Resolve the deferred loop-candidate gate from the last chunk —
-        call once after replay ends (chunked mode only)."""
-        pending = getattr(self, "_pending_gate", None)
-        if self.loop_closer is not None and pending is not None:
-            self._pending_gate = None
-            if self.loop_closer.decide_loops(pending):
-                self.loop_closer.optimize_graph()
+        """Resolve the deferred loop-node verification and candidate gate
+        from the last chunks — call once after replay ends (chunked mode
+        only; flush() calls this for the pipelined mode)."""
+        lc = self.loop_closer
+        if lc is None:
+            return
+        pending_v = self._pending_verify
+        self._pending_verify = None
+        if pending_v is not None and lc.resolve_verify(pending_v):
+            lc.optimize_graph()
+        pending = self._pending_gate
+        self._pending_gate = None
+        if pending is not None and lc.decide_loops(pending):
+            lc.optimize_graph()
+
+    def flush(self):
+        """Drain the pipeline: finish the in-flight chunk (pipelined mode)
+        and resolve the loop node's deferred batches.  Returns the last
+        chunk's FrameOutput (or None if nothing was in flight)."""
+        out = None
+        if self._inflight is not None:
+            inflight, self._inflight = self._inflight, None
+            out = self._finish_chunk(*inflight)
+        self.flush_loop()
+        return out
 
     # ------------------------------------------------------------- exports
     def trajectory_cam_centers(self, loop_corrected: bool = False):

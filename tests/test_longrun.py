@@ -1,0 +1,144 @@
+"""KITTI-length composition test (round-4 verdict item #5).
+
+One synthetic run of >=1100 keyframes through the REAL loop-node machinery
+— image ingest, in-run vocabulary with its doubling refresh schedule,
+capacity `_grow` doubling (128 -> 2048), the candidate gate, geometric
+verification, the banded (>256-node) PGO and the post-window rebase — all
+COMPOSED, not unit-tested in isolation.  Asserts drift is corrected and
+that steady-state operation stays at a bounded compile count (the pow-2
+bucketing design promises O(log n) program shapes over a run).
+
+Reference scale: KITTI odometry sequences (several thousand keyframes,
+/root/reference/README.md:138-152); the reference's loop node handles them
+with a pretrained vocabulary and g2o optimize(100) per accepted loop.
+"""
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flvis_tpu.config import LoopConfig
+from flvis_tpu.geometry import camera, se3, so3
+from flvis_tpu.io.synthetic import PlanarScene, SceneConfig
+from flvis_tpu.loop.loop_closing import LoopCloser
+
+
+class _CompileCounter(logging.Handler):
+    """Counts XLA compile events via jax_log_compiles' log records."""
+
+    def __init__(self):
+        super().__init__(level=logging.DEBUG)
+        self.count = 0
+
+    def emit(self, record):
+        if "Compiling" in record.getMessage():
+            self.count += 1
+
+
+@pytest.mark.slow
+def test_longrun_1100_keyframes_grow_refresh_banded_pgo_rebase():
+    n_kf = 1100
+    leg = 200                      # keyframes per 4 m leg (0.02 m spacing)
+    step = 0.02
+    drift_per_kf = 1e-4            # odometry bias: 0.11 m over the run
+
+    scfg = SceneConfig(width=160, height=120, fx=110.0, fy=110.0,
+                       cx=80.0, cy=60.0, baseline=0.12)
+    scene = PlanarScene(scfg, plane_depth=8.0, seed=7)
+    cam = camera.make(scfg.fx, scfg.fy, scfg.cx, scfg.cy, scfg.baseline,
+                      width=scfg.width, height=scfg.height)
+    cfg = LoopConfig(max_keyframes=128,          # forces 4 _grow doublings
+                     num_orb_features=64, vocab_words=128,
+                     vocab_refresh_at=64,        # refresh at 64,128,...,1024
+                     kf_start=60, kf_dist=50, search_window=5000,
+                     kf_max_dist=50, nkf_closest=2, min_pts=12,
+                     min_score=0.03, ratio_ransac=0.3,
+                     ransac_hypotheses=64, pgo_iters=100)
+    lc = LoopCloser(cfg, cam)
+
+    # Triangle-wave trajectory: out-and-back legs over the same 4 m of
+    # scene, so later legs genuinely revisit earlier viewpoints.  Every x
+    # lands on the 0.02 m grid -> only ~201 distinct renders (cached).
+    def x_of(k):
+        phase = k % (2 * leg)
+        return step * (phase if phase <= leg else 2 * leg - phase)
+
+    render_cache = {}
+    gt_t = np.zeros((n_kf, 3), np.float32)       # T_c_w translation (gt)
+    odo_t = np.zeros((n_kf, 3), np.float32)      # drifted odometry
+    for k in range(n_kf):
+        x = x_of(k)
+        gt_t[k] = [-x, 0.0, 0.0]
+        odo_t[k] = [-x, -drift_per_kf * k, 0.0]
+    xs_keys = [round(x_of(k) / step) for k in range(n_kf)]
+    for key in sorted(set(xs_keys)):
+        render_cache[key] = scene.render(
+            np.eye(3), np.asarray([-key * step, 0.0, 0.0]))
+
+    counter = _CompileCounter()
+    logging.getLogger("jax").addHandler(counter)
+    old_flag = jax.config.jax_log_compiles
+    jax.config.update("jax_log_compiles", True)
+    compiles_at_half = None
+    try:
+        B = 32
+        for c0 in range(0, n_kf, B):
+            ks_range = range(c0, min(c0 + B, n_kf))
+            il = np.stack([render_cache[xs_keys[k]][0] for k in ks_range])
+            ir = np.stack([render_cache[xs_keys[k]][1] for k in ks_range])
+            q = np.tile(np.asarray([1.0, 0, 0, 0], np.float32),
+                        (len(il), 1))
+            t = odo_t[list(ks_range)]
+            ks = lc.add_keyframes_batch(il, ir, list(range(len(il))),
+                                        q, t, list(ks_range))
+            if lc.detect_loops_batch(ks):
+                lc.optimize_graph()
+            if c0 + B >= n_kf // 2 and compiles_at_half is None:
+                compiles_at_half = counter.count
+        compiles_total = counter.count
+    finally:
+        jax.config.update("jax_log_compiles", old_flag)
+        logging.getLogger("jax").removeHandler(counter)
+
+    # --- capacity growth + vocabulary refresh schedule both exercised ----
+    assert lc.count == n_kf
+    assert lc.bow_db.shape[0] >= 2048, lc.bow_db.shape      # 4 doublings
+    assert lc._next_vocab_refresh > 1024                    # refreshed @1024
+    assert lc._in_run_vocab
+
+    # --- loops found across legs; window large enough for the banded path -
+    assert len(lc.closures) >= 3, len(lc.closures)
+    i0 = min(c.kf_i for c in lc.closures)
+    j1 = max(c.kf_j for c in lc.closures)
+    assert j1 - i0 + 1 > LoopCloser._BANDED_THRESHOLD, (i0, j1)
+    spans = [c.kf_j - c.kf_i for c in lc.closures]
+    assert max(spans) >= 2 * leg - 60, max(spans)   # cross-leg revisits
+
+    # --- drift corrected: node poses beat raw odometry against gt ---------
+    # Camera centres: T_c_w has R = I here, so C = -t.
+    def centers(q, t):
+        R = np.asarray(jax.vmap(so3.to_matrix)(jnp.asarray(q)))
+        return -np.einsum("kij,kj->ki", np.transpose(R, (0, 2, 1)),
+                          np.asarray(t))
+
+    sel = np.arange(i0, n_kf)
+    c_gt = -gt_t[sel]
+    c_odo = -odo_t[sel]
+    c_node = centers(np.asarray(lc.kf_q[i0:n_kf]),
+                     np.asarray(lc.kf_t[i0:n_kf]))
+    err_odo = np.linalg.norm(c_odo - c_gt, axis=-1).mean()
+    err_node = np.linalg.norm(c_node - c_gt, axis=-1).mean()
+    assert err_node < 0.6 * err_odo, (err_node, err_odo)
+    assert float(np.linalg.norm(np.asarray(lc.T_map_odom.t))) > 1e-3
+
+    # --- compile count bounded in steady state ----------------------------
+    # Pow-2 bucketing promises only O(log n) NEW shapes after the run is
+    # warmed up: the second half may still first-hit the 1024/2048 buckets
+    # (gate width, _grow tables, PGO n_pad, vocab-refresh sample) but must
+    # not compile per chunk.  17 chunks run in the second half; a per-chunk
+    # recompile regression would blow far past this bound.
+    second_half = compiles_total - compiles_at_half
+    assert second_half <= 16, (compiles_at_half, compiles_total)

@@ -435,6 +435,117 @@ class TestVioLoopHeadline:
         assert ate < 0.02 * path + 0.01, f"ATE {ate:.4f} m over {path:.2f} m"
 
 
+class TestPipelinedChunks:
+    """SlamSystem(pipelined=True): double-buffered chunk replay.
+
+    Chunk N+1's fused program dispatches before chunk N's packed fetch
+    resolves, and the loop node's verify/PGO lag one further chunk — the
+    single-chip equivalent of the reference's concurrently running nodelets
+    (vo_tracking.cpp:396-482, vo_loopclosing.cpp:181-518).  Results must be
+    IDENTICAL to the synchronous mode modulo the documented one-chunk
+    return lag."""
+
+    def _cfg_scene(self):
+        from flvis_tpu.config import LoopConfig
+
+        scfg = SceneConfig(width=256, height=192, fx=200.0, fy=200.0,
+                           cx=128.0, cy=96.0, baseline=0.12)
+        scene = PlanarScene(scfg, plane_depth=8.0, seed=11)
+        cfg = SystemConfig(
+            frontend=FrontendConfig(width=scfg.width, height=scfg.height,
+                                    num_slots=128, pyramid_levels=3,
+                                    per_cell=8, min_distance=12.0, margin=22,
+                                    kf_min_trans=0.04),
+            backend=BackendConfig(window_size=5, max_landmarks=256,
+                                  iters1=8, iters2=4),
+            loop=LoopConfig(max_keyframes=64, num_orb_features=128,
+                            vocab_words=128, kf_start=10, kf_dist=8,
+                            kf_max_dist=64, nkf_closest=2, min_pts=12,
+                            min_score=0.03, ratio_ransac=0.3,
+                            seq_edge_successors=3),
+        )
+        cam = camera.make(scfg.fx, scfg.fy, scfg.cx, scfg.cy, scfg.baseline,
+                          width=scfg.width, height=scfg.height)
+        return scfg, scene, cfg, cam
+
+    def test_pipelined_matches_sync_with_loop(self):
+        scfg, scene, cfg, cam = self._cfg_scene()
+        n = 24
+        half = n // 2
+        xs = list(np.linspace(0, 0.9, half)) + \
+            list(np.linspace(0.9, 0.02, n - half))
+        frames = [scene.render(np.eye(3), -np.asarray([x, 0.0, 0.0]))
+                  for x in xs]
+        runs = {}
+        for pipelined in (False, True):
+            sys_ = SlamSystem(cfg, cam, use_loop=True, pipelined=pipelined)
+            rets = []
+            for c0 in range(0, n, 8):
+                batch = frames[c0:c0 + 8]
+                rets.append(sys_.process_frames(
+                    np.stack([b[0] for b in batch]),
+                    np.stack([b[1] for b in batch])))
+            last = sys_.flush()
+            if pipelined:
+                # One-chunk return lag: first call yields None, flush()
+                # yields the final chunk.
+                assert rets[0] is None
+                assert all(r is not None for r in rets[1:])
+                assert last is not None
+                np.testing.assert_array_equal(last.status,
+                                              runs[False][2][-1].status)
+            else:
+                sys_.flush_loop()
+            runs[pipelined] = (sys_, rets, [r for r in rets if r is not None]
+                               + ([last] if last is not None else []))
+        sync_sys, pipe_sys = runs[False][0], runs[True][0]
+        # Tracking path is loop-independent: trajectories bit-identical.
+        t_sync = np.asarray([t for (_, _, _, t) in sync_sys.trajectory])
+        t_pipe = np.asarray([t for (_, _, _, t) in pipe_sys.trajectory])
+        np.testing.assert_array_equal(t_sync, t_pipe)
+        assert len(pipe_sys.trajectory) == n
+        # Same keyframe stream and identical accepted loop closures.
+        assert pipe_sys.loop_closer.count == sync_sys.loop_closer.count
+        assert [(c.kf_i, c.kf_j) for c in pipe_sys.loop_closer.closures] == \
+            [(c.kf_i, c.kf_j) for c in sync_sys.loop_closer.closures]
+        assert len(pipe_sys.loop_closer.closures) >= 1
+        # Drift transforms agree once both pipelines drained.
+        np.testing.assert_allclose(
+            np.asarray(pipe_sys.loop_closer.T_map_odom.t),
+            np.asarray(sync_sys.loop_closer.T_map_odom.t), atol=1e-4)
+
+    def test_pipelined_vio_matches_sync(self):
+        from flvis_tpu.io.synthetic import imu_from_trajectory
+
+        scfg, scene, cfg, cam = self._cfg_scene()
+        n = 16
+        xs = np.linspace(0, 0.6, n)
+        poses = [(np.eye(3), -np.asarray([x, 0.0, 0.0])) for x in xs]
+        frames = [scene.render(R, t) for (R, t) in poses]
+        t_imu, gyro, acc, frame_t = imu_from_trajectory(poses, fps=20.0)
+        accs, gyros, imuts = [], [], []
+        prev = -np.inf
+        for ft in frame_t:
+            m = (t_imu > prev) & (t_imu <= ft)
+            accs.append(acc[m]); gyros.append(gyro[m]); imuts.append(t_imu[m])
+            prev = ft
+        trajs = {}
+        for pipelined in (False, True):
+            sys_ = SlamSystem(cfg, cam, use_imu=True, pipelined=pipelined)
+            for c0 in range(0, n, 8):
+                sl = slice(c0, c0 + 8)
+                sys_.process_frames_vio(
+                    np.stack([f[0] for f in frames[sl]]),
+                    np.stack([f[1] for f in frames[sl]]),
+                    ts=frame_t[sl], imu_acc=accs[sl], imu_gyro=gyros[sl],
+                    imu_t=imuts[sl])
+            sys_.flush()
+            trajs[pipelined] = np.asarray(
+                [t for (_, _, _, t) in sys_.trajectory])
+        np.testing.assert_array_equal(trajs[False], trajs[True])
+        assert trajs[True].shape[0] == n
+
+
 class TestImuPacking:
     def test_first_frame_history_predrained_and_overflow_raises(self):
         """The first frame of a chunk may carry the whole pre-camera IMU
