@@ -41,6 +41,10 @@ def main():
     ap.add_argument("--frames", type=int, default=None)
     ap.add_argument("--imu", action="store_true", help="enable IMU fusion (EuRoC)")
     ap.add_argument("--loop", action="store_true", help="enable loop closing + PGO")
+    ap.add_argument("--pipelined", action="store_true",
+                    help="double-buffered chunk replay: dispatch chunk N+1 "
+                         "before resolving chunk N's fetch (results lag one "
+                         "chunk; fastest single-chip mode)")
     ap.add_argument("--loop-device", type=int, default=None,
                     help="device index for the loop node (two-chip mode: "
                          "ingest/gate/verify/PGO dispatch there and overlap "
@@ -125,7 +129,8 @@ def main():
     loop_dev = (jax.devices()[args.loop_device]
                 if args.loop_device is not None else None)
     slam = SlamSystem(cfg, cam, T_i_c=T_i_c, use_imu=args.imu,
-                      use_loop=args.loop, loop_device=loop_dev)
+                      use_loop=args.loop, loop_device=loop_dev,
+                      pipelined=args.pipelined and args.chunk > 1)
 
     n = min(args.frames or len(ds), len(ds))
     t0 = time.perf_counter()
@@ -151,11 +156,13 @@ def main():
                         np.stack([f.img1 for f in buf]),
                         ts=np.asarray([f.t for f in buf]))
                 done += len(buf)
-                status = ["UNINIT", "TRACK", "FAIL"][int(outs.status[-1])]
-                print(f"frame {done:5d}/{n}  {status}  "
-                      f"inliers={int(outs.num_inliers[-1]):3d} "
-                      f"kfs={len(slam.keyframes)}", flush=True)
+                if outs is not None:       # pipelined: lags one chunk
+                    status = ["UNINIT", "TRACK", "FAIL"][int(outs.status[-1])]
+                    print(f"frame {done:5d}/{n}  {status}  "
+                          f"inliers={int(outs.num_inliers[-1]):3d} "
+                          f"kfs={len(slam.keyframes)}", flush=True)
                 buf = []
+        slam.flush()   # drain the in-flight chunk (pipelined mode)
         for f in buf:  # tail shorter than a chunk: stepwise
             if args.imu and getattr(f, "imu_t", None) is not None and len(f.imu_t):
                 slam.feed_imu(f.imu_acc, f.imu_gyro, f.imu_t)

@@ -156,6 +156,18 @@ class LoopConfig:
     max_trans: float = 3.0              # ‖t‖ accept gate (vo_loopclosing.cpp:686)
     max_rot: float = 1.5                # ‖log R‖ accept gate
     pgo_iters: int = 100                # optimize(100)
+    # Loop-edge budget per PGO solve.  The reference accumulates EVERY
+    # accepted closure and rebuilds the whole edge set each event
+    # (loop_ids.push_back, vo_loopclosing.cpp:484-486) — fine for sparse
+    # CPU g2o, but here loop edges enter the O(n) banded solver as a
+    # rank-6L Woodbury correction, so a sustained revisit (a closure per
+    # keyframe) would grow a dense (6L, 6L) solve without bound and churn
+    # a fresh compile per 8-edge bucket.  Past this budget the solve thins
+    # to the strongest closure (most PnP inliers) per window bucket —
+    # consecutive (i,j),(i+1,j+1),... closures are near-duplicate
+    # constraints, so coverage, not count, is what conditions the graph.
+    # The full closure list is kept for stats/export.  0 disables.
+    pgo_max_loop_edges: int = 64
     # Geometric-verification RANSAC budget: the reference hardcodes
     # iterationsCount=100 in its solvePnPRansac call
     # (vo_loopclosing.cpp:670); here the P3P hypotheses are batched and

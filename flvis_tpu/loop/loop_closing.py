@@ -1126,18 +1126,33 @@ class LoopCloser:
         # per shape, and each XLA compile is expensive (remote-compile
         # tunnel) — bucketing bounds recompiles at O(log n) over a run.
         n_pad = max(32, 1 << (wn - 1).bit_length())
+        # Bound the loop-edge set (cfg.pgo_max_loop_edges): a sustained
+        # revisit accepts a closure per keyframe, and unthinned the Woodbury
+        # rank (6L) and the per-8-bucket compile count grow without bound —
+        # caught by tests/test_longrun.py.  Thinning keeps the strongest
+        # closure (most inliers) per j-ordered bucket: consecutive
+        # (i,j),(i+1,j+1) closures are near-duplicate constraints.  The
+        # window [i0, j1] still comes from ALL closures above.
+        closures = self.closures
+        cap = cfg.pgo_max_loop_edges
+        if cap > 0 and len(closures) > cap:
+            order = sorted(closures, key=lambda c: c.kf_j)
+            bounds = np.linspace(0, len(order), cap + 1).astype(int)
+            closures = [
+                max(order[a:b], key=lambda c: c.num_inliers)
+                for a, b in zip(bounds[:-1], bounds[1:]) if b > a]
         # Loop edges are few; pad to 8-slot buckets (the Thomas multi-RHS
         # pass and the dense correction solve scale with 6x the bucket — a
         # 16-slot minimum made every warm event pay 97 RHS columns for a
         # handful of real edges).
-        L = len(self.closures)
+        L = len(closures)
         loop_pad = max(8, 8 * ((L + 7) // 8))
         loop_i = np.zeros(loop_pad, np.int32)
         loop_j = np.zeros(loop_pad, np.int32)
         loop_q = np.tile(np.asarray([1.0, 0, 0, 0], np.float32), (loop_pad, 1))
         loop_t = np.zeros((loop_pad, 3), np.float32)
         loop_valid = np.zeros(loop_pad, bool)
-        for e, lc in enumerate(self.closures):
+        for e, lc in enumerate(closures):
             loop_i[e], loop_j[e] = lc.kf_i, lc.kf_j
             loop_q[e] = np.asarray(lc.T_ij.q)
             loop_t[e] = np.asarray(lc.T_ij.t)

@@ -317,6 +317,13 @@ class SlamSystem:
     def process_frame(self, img0, img1, t_img: float = 0.0):
         cfg = self.cfg
 
+        if self._inflight is not None:
+            # Interleaving stepwise frames with pipelined chunks: resolve
+            # the in-flight chunk first so host bookkeeping (trajectory,
+            # keyframe log, loop ingest) stays stream-ordered.
+            inflight, self._inflight = self._inflight, None
+            self._finish_chunk(*inflight)
+
         # Apply the previous keyframe's BA correction (feedback loop).
         if self.pending_corr is not None:
             self.fe_state = tracker.apply_correction(self.fe_state, self.pending_corr)
@@ -400,7 +407,9 @@ class SlamSystem:
 
         Args:
           imgs0/imgs1: (T, H, W) stacked frames; ts optional (T,) times.
-        Returns the stacked FrameOutput (host numpy pytree).
+        Returns the stacked FrameOutput (host numpy pytree).  In pipelined
+        mode the PREVIOUS chunk's outputs are returned (None on the first
+        call); call flush() after the last chunk.
         """
         cfg = self.cfg
         corr0 = (self.pending_corr if self.pending_corr is not None

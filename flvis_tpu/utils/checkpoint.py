@@ -62,7 +62,13 @@ def load_pytree(path: str, template):
 
 def save_slam_system(path: str, slam) -> None:
     """Checkpoint a pipeline.runner.SlamSystem (frontend + backend + VIO
-    state and the trajectory log)."""
+    state and the trajectory log).  A pipelined system drains its in-flight
+    chunk and deferred loop batches first so the snapshot is
+    stream-consistent."""
+    if getattr(slam, "_inflight", None) is not None or \
+            getattr(slam, "_pending_gate", None) is not None or \
+            getattr(slam, "_pending_verify", None) is not None:
+        slam.flush()
     state = {
         "fe": slam.fe_state,
         "ba": slam.ba_state,

@@ -16,14 +16,22 @@ with a pretrained vocabulary and g2o optimize(100) per accepted loop.
 import logging
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from flvis_tpu.config import LoopConfig
-from flvis_tpu.geometry import camera, se3, so3
+from flvis_tpu.geometry import camera
 from flvis_tpu.io.synthetic import PlanarScene, SceneConfig
 from flvis_tpu.loop.loop_closing import LoopCloser
+
+
+# The loop node's EXPENSIVE programs: a steady-state recompile of any of
+# these is the regression this test guards against.  Tiny eager ops
+# (jit(add), jit(concatenate), ... from _grow's table padding) also log
+# compiles at new shapes but cost microseconds — they are not counted.
+_BIG_PROGRAMS = ("_ingest_rows", "_gate_rows", "_verify_device",
+                 "_bow_rows", "_build_graph", "_apply_pgo", "optimize",
+                 "train", "transform")
 
 
 class _CompileCounter(logging.Handler):
@@ -34,7 +42,12 @@ class _CompileCounter(logging.Handler):
         self.count = 0
 
     def emit(self, record):
-        if "Compiling" in record.getMessage():
+        # "Finished XLA compilation of <fn> in <t> sec" fires once per TRUE
+        # compile (persistent-cache hits skip it; the "Compiling jit(...)"
+        # line fires before the cache lookup and would overcount).
+        msg = record.getMessage()
+        if "Finished XLA compilation" in msg and                 any(f"jit({n}" in msg or f"jit(_{n}" in msg
+                    for n in _BIG_PROGRAMS):
             self.count += 1
 
 
@@ -43,11 +56,16 @@ def test_longrun_1100_keyframes_grow_refresh_banded_pgo_rebase():
     n_kf = 1100
     leg = 200                      # keyframes per 4 m leg (0.02 m spacing)
     step = 0.02
-    drift_per_kf = 1e-4            # odometry bias: 0.11 m over the run
+    drift_per_kf = 2e-3            # odometry bias: 2.2 m over the run
 
-    scfg = SceneConfig(width=160, height=120, fx=110.0, fy=110.0,
-                       cx=80.0, cy=60.0, baseline=0.12)
-    scene = PlanarScene(scfg, plane_depth=8.0, seed=7)
+    # Stereo geometry chosen so keypoint depth is OBSERVABLE at this
+    # resolution: disparity = fx*b/z = 160*0.2/4 = 8 px (an earlier
+    # fx=110/b=0.12/z=8 variant gave 1.65 px — sweep-quantization depth
+    # noise then dominated the loop edges and PGO could only converge to
+    # that noise floor, not to ground truth).
+    scfg = SceneConfig(width=160, height=120, fx=160.0, fy=160.0,
+                       cx=80.0, cy=60.0, baseline=0.2)
+    scene = PlanarScene(scfg, plane_depth=4.0, seed=7)
     cam = camera.make(scfg.fx, scfg.fy, scfg.cx, scfg.cy, scfg.baseline,
                       width=scfg.width, height=scfg.height)
     cfg = LoopConfig(max_keyframes=128,          # forces 4 _grow doublings
@@ -118,27 +136,25 @@ def test_longrun_1100_keyframes_grow_refresh_banded_pgo_rebase():
     assert max(spans) >= 2 * leg - 60, max(spans)   # cross-leg revisits
 
     # --- drift corrected: node poses beat raw odometry against gt ---------
-    # Camera centres: T_c_w has R = I here, so C = -t.
-    def centers(q, t):
-        R = np.asarray(jax.vmap(so3.to_matrix)(jnp.asarray(q)))
-        return -np.einsum("kij,kj->ki", np.transpose(R, (0, 2, 1)),
-                          np.asarray(t))
-
+    # The node tables store T_w_c, whose translation IS the camera centre;
+    # gt_t/odo_t are T_c_w translations with R = I, so centres are -t.
     sel = np.arange(i0, n_kf)
     c_gt = -gt_t[sel]
     c_odo = -odo_t[sel]
-    c_node = centers(np.asarray(lc.kf_q[i0:n_kf]),
-                     np.asarray(lc.kf_t[i0:n_kf]))
+    c_node = np.asarray(lc.kf_t[i0:n_kf])
     err_odo = np.linalg.norm(c_odo - c_gt, axis=-1).mean()
     err_node = np.linalg.norm(c_node - c_gt, axis=-1).mean()
-    assert err_node < 0.6 * err_odo, (err_node, err_odo)
-    assert float(np.linalg.norm(np.asarray(lc.T_map_odom.t))) > 1e-3
+    assert err_node < 0.2 * err_odo, (err_node, err_odo)
+    assert float(np.linalg.norm(np.asarray(lc.T_map_odom.t))) > 0.5
 
     # --- compile count bounded in steady state ----------------------------
     # Pow-2 bucketing promises only O(log n) NEW shapes after the run is
-    # warmed up: the second half may still first-hit the 1024/2048 buckets
-    # (gate width, _grow tables, PGO n_pad, vocab-refresh sample) but must
-    # not compile per chunk.  17 chunks run in the second half; a per-chunk
-    # recompile regression would blow far past this bound.
+    # warmed up: the second half may still first-hit the 1024-capacity
+    # bucket (one _grow doubles every store table, recompiling each big
+    # ingest/gate/verify/apply program once, plus the 1024-node PGO n_pad
+    # and the vocab-refresh back-fill) but must not compile per chunk.  17
+    # chunks run in the second half; a per-chunk recompile regression (the
+    # round-3 batched-ingest bug, or unbounded loop-edge buckets — both
+    # historical) blows far past this bound.
     second_half = compiles_total - compiles_at_half
-    assert second_half <= 16, (compiles_at_half, compiles_total)
+    assert second_half <= 12, (compiles_at_half, compiles_total)
