@@ -503,8 +503,9 @@ def main():
         run_vio_loop_ms(4 + r)
     sync(msl.fe)
     multiseq_vio_loop_fps = n_msl * S_sys * T_sys / (time.perf_counter() - t0)
-    assert msl.loopers[0].count > 0
-    assert all(lc.count == msl.loopers[0].count for lc in msl.loopers)
+    # Every sequence's loop node ingested keyframes (counts differ per
+    # sequence: the rolled per-seq images give slightly different cadences).
+    assert all(lc.count > 0 for lc in msl.loopers)
 
     # --- PGO at KITTI scale: banded solver, 2048-node window ----------------
     # The O(K) block-tridiagonal + Woodbury solver on a 2048-keyframe loop
