@@ -487,7 +487,7 @@ def main():
     scfg_msl = scfg_sys.replace(loop=_dc.replace(
         scfg_sys.loop, nkf_closest=10**6, kf_start=8))
     msl = MultiSeqSlam(scfg_msl, cam, num_seqs=S_sys, use_imu=True,
-                       use_loop=True, ba_every=BA_EVERY)
+                       use_loop=True, ba_every=BA_EVERY, pipelined=True)
 
     def run_vio_loop_ms(rep):
         off = rep * (T_sys / 20.0 + 1.0)
@@ -503,6 +503,7 @@ def main():
         run_vio_loop_ms(4 + r)
     sync(msl.fe)
     multiseq_vio_loop_fps = n_msl * S_sys * T_sys / (time.perf_counter() - t0)
+    msl.flush()
     # Every sequence's loop node ingested keyframes (counts differ per
     # sequence: the rolled per-seq images give slightly different cadences).
     assert all(lc.count > 0 for lc in msl.loopers)

@@ -64,12 +64,19 @@ class MultiSeqSlam:
         runs under shard_map with zero collectives (multiseq module note)
         and states/images are placed seq-sharded.
       ba_every: window-BA cadence for the batched solve (multiseq note).
+      pipelined: double-buffered chunk replay, as SlamSystem(pipelined=True):
+        chunk N+1's batched program dispatches before chunk N's packed
+        fetch resolves, hiding the per-sequence loop-node dispatches
+        (2 programs x S sequences per chunk, ~10-20 ms of fixed host
+        overhead each under the remote tunnel) behind the next chunk's
+        device time.  process_chunk* then returns the PREVIOUS chunk's
+        packed outputs (None on the first call); call flush() at the end.
     """
 
     def __init__(self, cfg: SystemConfig, cam: StereoCamera, num_seqs: int,
                  use_imu: bool = False, use_loop: bool = True, mesh=None,
                  ba_every: int = 1, T_i_c: Optional[SE3] = None,
-                 cams=None):
+                 cams=None, pipelined: bool = False):
         self.cfg = cfg
         self.cam = cam
         self.S = num_seqs
@@ -99,6 +106,8 @@ class MultiSeqSlam:
         self._pending_verify: list = [None] * num_seqs
         self._frames = 0
         self.trajectories: list[list] = [[] for _ in range(num_seqs)]
+        self.pipelined = pipelined
+        self._inflight = None
 
     # ---------------------------------------------------------------- chunks
     def process_chunk(self, imgs0, imgs1, ts=None):
@@ -119,7 +128,7 @@ class MultiSeqSlam:
                     self.cfg.frontend, self.cfg.backend, self.cams,
                     self.fe, self.ba, self.corr, imgs0, imgs1,
                     ba_every=self.ba_every)
-        return self._finish(outs, imgs0, imgs1, ts)
+        return self._after_dispatch(outs, imgs0, imgs1, ts)
 
     def process_chunk_vio(self, imgs0, imgs1, ts, acc, gyro, imu_t,
                           imu_valid):
@@ -141,12 +150,22 @@ class MultiSeqSlam:
                 multiseq.system_chunk_batch_vio(
                     self.cfg.frontend, self.cfg.backend, self.cfg.vio,
                     *args, ba_every=self.ba_every)
-        return self._finish(outs, imgs0, imgs1, ts)
+        return self._after_dispatch(outs, imgs0, imgs1, ts)
+
+    def _after_dispatch(self, outs, imgs0, imgs1, ts):
+        """Synchronous mode finishes the chunk now; pipelined mode stashes
+        it and finishes the PREVIOUS chunk (see SlamSystem._after_dispatch:
+        the pack program must dispatch before the next chunk's program)."""
+        packed_dev = _pack_outputs_batch(outs)
+        if not self.pipelined:
+            return self._finish(packed_dev, imgs0, imgs1, ts)
+        prev = self._inflight
+        self._inflight = (packed_dev, imgs0, imgs1, ts)
+        return self._finish(*prev) if prev is not None else None
 
     # ----------------------------------------------------------- loop stage
-    def _finish(self, outs, imgs0, imgs1, ts):
+    def _finish(self, packed_dev, imgs0, imgs1, ts):
         S, T = imgs0.shape[0], imgs0.shape[1]
-        packed_dev = _pack_outputs_batch(outs)
         gate_devs = [None if lc is None else lc.pending_rows(g)
                      for lc, g in zip(self.loopers, self._pending_gate)]
         verify_devs = [None if lc is None else lc.pending_verify_arrays(v)
@@ -192,8 +211,13 @@ class MultiSeqSlam:
         return packed
 
     def flush(self):
-        """Drain every sequence's deferred verification + candidate gate
-        (call once after replay ends)."""
+        """Drain the in-flight chunk (pipelined mode) and every sequence's
+        deferred verification + candidate gate (call once after replay
+        ends).  Returns the last chunk's packed outputs (or None)."""
+        out = None
+        if self._inflight is not None:
+            inflight, self._inflight = self._inflight, None
+            out = self._finish(*inflight)
         for s in range(self.S):
             lc = self.loopers[s]
             if lc is None:
@@ -204,6 +228,7 @@ class MultiSeqSlam:
             pg, self._pending_gate[s] = self._pending_gate[s], None
             if pg is not None and lc.decide_loops(pg):
                 lc.optimize_graph()
+        return out
 
     # -------------------------------------------------------------- exports
     def trajectory_cam_centers(self, s: int, loop_corrected: bool = False):
