@@ -494,13 +494,20 @@ def main():
         msl.process_chunk_vio(ms_i0, ms_i1, ms_ts + off, ms_a, ms_g,
                               ms_it + off, ms_iv)
 
-    for r in range(4):                 # compile + vocab train + gate engage
+    # 6 warmup chunks: the per-chunk probe (2026-08-22) showed the one-time
+    # loop-node events — kf_start crossing (first gate program), vocabulary
+    # training + back-fill, and the first vocab-present fused ingest — land
+    # at chunks 3-4 at this keyframe cadence; warming through chunk 5 keeps
+    # every first-occurrence program build/cache-load out of the timed
+    # region (a cold cache run otherwise read 25 fps from compile stalls
+    # alone; steady-state chunks measure ~0.87 s).
+    for r in range(6):
         run_vio_loop_ms(r)
     sync(msl.fe)
     n_msl = 3
     t0 = time.perf_counter()
     for r in range(n_msl):
-        run_vio_loop_ms(4 + r)
+        run_vio_loop_ms(6 + r)
     sync(msl.fe)
     multiseq_vio_loop_fps = n_msl * S_sys * T_sys / (time.perf_counter() - t0)
     msl.flush()

@@ -130,7 +130,7 @@ def _ingest_rows_body(uv_s, desc_s, kpv_s, pc_s, pcv_s,
     bounding the pyramid working set to 8 frames (a full vmap over a
     64-keyframe chunk would hold ~50 MB × 8 of pyramids live)."""
     K = uv_s.shape[0]
-    B = 8
+    B = 8 if sel.shape[0] % 8 == 0 else sel.shape[0]   # 4-wide remainder
     sel_b = sel.reshape(-1, B)
 
     def one(_, sb):
@@ -625,9 +625,16 @@ class LoopCloser:
         while M - off > 16:
             blocks.append((off, 32))
             off += min(32, M - off)
-        while off < M:
+        while M - off > 4:
             blocks.append((off, 8))
             off += min(8, M - off)
+        while off < M:
+            # 4-wide remainder: the multi-sequence DP path ingests ~3-4
+            # keyframes per sequence per chunk — an 8-wide block there
+            # wastes half its device time on padding (S such programs
+            # serialize per chunk).
+            blocks.append((off, 4))
+            off += min(4, M - off)
         for b0, B in blocks:
             bM = min(B, M - b0)
             sel_b = np.concatenate(

@@ -190,16 +190,28 @@ def brief_from_patches(patches, angles):
     return jnp.sum(b * weights, axis=-1, dtype=jnp.uint32)  # (N, 8)
 
 
-@functools.partial(jax.jit, static_argnames=("num_features", "threshold"))
-def detect_and_compute(img, num_features: int = 500, threshold: float = 20.0):
+@functools.partial(jax.jit, static_argnames=("num_features", "threshold",
+                                             "use_kernel"))
+def detect_and_compute(img, num_features: int = 500, threshold: float = 20.0,
+                       use_kernel: bool | None = None):
     """ORB pipeline: FAST-9 + NMS → top-K by score → orientation → rBRIEF.
 
     Returns (uv (K, 2), desc (K, 8) uint32, valid (K,), angles (K,)).
     Fixed output size with a validity mask — non-corners score 0 and are
-    masked out.
+    masked out.  use_kernel routes the FAST response + Gaussian blur
+    through the fused Pallas kernel (ops/pallas/fastblur.py — one VMEM
+    pass instead of ~40 full-image HBM passes); default on TPU.
     """
     h, w = img.shape
-    score = fast_score(img, threshold)
+    if use_kernel is None:
+        use_kernel = jax.default_backend() == "tpu"
+    if use_kernel:
+        from .pallas.fastblur import fast_score_blur_pallas
+
+        score, blur = fast_score_blur_pallas(img, threshold, sigma=2.0)
+    else:
+        score = fast_score(img, threshold)
+        blur = None
     # 3×3 non-max suppression + border exclusion (BRIEF patch support).
     pooled = jax.lax.reduce_window(
         score, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
@@ -232,7 +244,8 @@ def detect_and_compute(img, num_features: int = 500, threshold: float = 20.0):
     # deviates from the reference's raw-image moments by <1° on textured
     # patches (the centroid is a low-pass statistic already); BRIEF bits
     # are computed on the blurred patch in both formulations.
-    blur = imops.gaussian_blur(img, sigma=2.0, ksize=7)
+    if blur is None:
+        blur = imops.gaussian_blur(img, sigma=2.0, ksize=7)
     patches = imops.extract_patches_int(blur, uv, _PATCH_R, exact=False)
     ang = orientations_from_patches(patches)
     desc = brief_from_patches(patches, ang)

@@ -165,3 +165,52 @@ class TestPallasHamming:
         want = jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
         got = hamming_matrix_pallas(a, b)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+class TestFastBlurKernel:
+    def test_pallas_fastblur_matches_xla(self):
+        """The fused FAST+blur Pallas kernel (interpret mode on CPU) must
+        bit-match ops/orb.fast_score away from the 3-px border band (roll-
+        wrap vs edge-pad; detections are margin-masked anyway) and
+        ops/image.gaussian_blur everywhere."""
+        import jax.numpy as jnp
+
+        from flvis_tpu.ops import image as imops, orb
+        from flvis_tpu.ops.pallas.fastblur import fast_score_blur_pallas
+
+        rng = np.random.default_rng(3)
+        img = jnp.asarray(rng.uniform(0, 255, (120, 200)).astype(np.float32))
+        s_ref = np.asarray(orb.fast_score(img, 20.0))
+        b_ref = np.asarray(imops.gaussian_blur(img, sigma=2.0, ksize=7))
+        s_k, b_k = fast_score_blur_pallas(img, 20.0, interpret=True)
+        np.testing.assert_array_equal(np.asarray(b_k), b_ref)
+        np.testing.assert_array_equal(np.asarray(s_k)[4:-4, 4:-4],
+                                      s_ref[4:-4, 4:-4])
+        assert (s_ref[4:-4, 4:-4] > 0).sum() > 100   # scenario non-trivial
+
+    def test_detect_and_compute_kernel_route_matches(self):
+        """detect_and_compute(use_kernel=True) in interpret mode returns the
+        same keypoints/descriptors as the XLA route (margin excludes every
+        border pixel where the two FAST formulations differ)."""
+        import jax.numpy as jnp
+
+        from flvis_tpu.ops import orb
+
+        rng = np.random.default_rng(4)
+        img = jnp.asarray(rng.uniform(0, 255, (120, 160)).astype(np.float32))
+        uv_x, d_x, v_x, a_x = orb.detect_and_compute(img, num_features=64,
+                                                     use_kernel=False)
+        import unittest.mock as mock
+        import flvis_tpu.ops.pallas.fastblur as fb
+
+        orig = fb.fast_score_blur_pallas
+        with mock.patch.object(
+                fb, "fast_score_blur_pallas",
+                lambda im, th, sigma=2.0: orig(im, th, sigma=sigma,
+                                               interpret=True)):
+            uv_k, d_k, v_k, a_k = orb.detect_and_compute(
+                img, num_features=64, use_kernel=True)
+        np.testing.assert_array_equal(np.asarray(v_x), np.asarray(v_k))
+        m = np.asarray(v_x)
+        np.testing.assert_array_equal(np.asarray(uv_x)[m], np.asarray(uv_k)[m])
+        np.testing.assert_array_equal(np.asarray(d_x)[m], np.asarray(d_k)[m])
