@@ -103,12 +103,18 @@ def load(path: str) -> Vocabulary:
 def transform(vocab: Vocabulary, descriptors_packed, valid):
     """Descriptors → normalized tf-idf BoW vector (V,).
 
-    The DBoW3 Vocabulary::transform equivalent; one matmul + scatter."""
+    The DBoW3 Vocabulary::transform equivalent; one matmul + scatter.
+    (A fully-fused Pallas variant — unpack, tiled MXU similarity, argmax
+    and compare-reduce histogram in VMEM — was raced and TIED this path
+    standalone and measured slightly SLOWER inside the fused ingest scan,
+    where the opaque kernel boundary blocks XLA's fusion with the
+    neighbouring stages; it is kept under interpret-mode parity test as
+    ops/pallas/bowassign.py, same verdict as the fused-LK race.)"""
+    V = vocab.words_pm1.shape[0]
     d = orb.unpack_pm1(descriptors_packed)            # (N, 256)
     sim = d @ vocab.words_pm1.T                       # (N, V) on the MXU
     sim = jnp.where(valid[:, None], sim, -jnp.inf)
     assign = jnp.argmax(sim, axis=1)
-    V = vocab.words_pm1.shape[0]
     tf = jnp.zeros(V).at[jnp.where(valid, assign, V - 1)].add(
         jnp.where(valid, 1.0, 0.0)
     )

@@ -214,3 +214,30 @@ class TestFastBlurKernel:
         m = np.asarray(v_x)
         np.testing.assert_array_equal(np.asarray(uv_x)[m], np.asarray(uv_k)[m])
         np.testing.assert_array_equal(np.asarray(d_x)[m], np.asarray(d_k)[m])
+
+
+class TestBowAssignKernel:
+    def test_pallas_bow_tf_matches_xla(self):
+        """The fused BoW-assignment kernel (interpret mode) must reproduce
+        bow.transform's term-frequency histogram exactly, including argmax
+        lowest-index tie-breaking and invalid-row masking.  (The kernel is
+        a raced variant kept under test — the XLA path ties it standalone
+        and fuses better inside the ingest scan; see bow.transform.)"""
+        import jax.numpy as jnp
+
+        from flvis_tpu.ops import orb
+        from flvis_tpu.ops.pallas.bowassign import bow_tf_pallas
+
+        rng = np.random.default_rng(5)
+        desc = jnp.asarray(rng.integers(0, 2**32, (300, 8),
+                                        dtype=np.uint64).astype(np.uint32))
+        valid = jnp.asarray(rng.random(300) > 0.15)
+        words = jnp.asarray(np.sign(rng.normal(size=(1024, 256)))
+                            .astype(np.float32))
+        d = orb.unpack_pm1(desc)
+        sim = jnp.where(valid[:, None], d @ words.T, -jnp.inf)
+        assign = jnp.argmax(sim, axis=1)
+        tf_ref = jnp.zeros(1024).at[jnp.where(valid, assign, 1023)].add(
+            jnp.where(valid, 1.0, 0.0))
+        tf_k = bow_tf_pallas(desc, valid, words, interpret=True)
+        np.testing.assert_array_equal(np.asarray(tf_k), np.asarray(tf_ref))
