@@ -37,11 +37,22 @@ def main():
     # Persistent compile cache: the fused chunk programs cost ~40 s each to
     # compile over the remote tunnel; caching them cuts bench startup by
     # minutes on every run after the first (keyed on HLO hash, so code
-    # changes invalidate exactly the affected programs).
+    # changes invalidate exactly the affected programs).  Scoped by a
+    # machine fingerprint — the cache key excludes the host CPU feature
+    # set, and this working tree persists across build machines; loading a
+    # foreign-machine XLA:CPU AOT entry can SIGILL (see tests/conftest.py).
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            _flags = next(line for line in f if line.startswith("flags"))
+    except Exception:
+        _flags = "unknown"
     jax.config.update(
         "jax_compilation_cache_dir",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     ".jax_cache"))
+                     ".jax_cache",
+                     f"machine-{hashlib.sha1(_flags.encode()).hexdigest()[:10]}"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from flvis_tpu.config import FrontendConfig

@@ -172,3 +172,46 @@ def load_loop_closer(path: str, lc) -> None:
     ]
     lc.T_map_odom = SE3(jnp.asarray(d["T_map_odom_q"]),
                         jnp.asarray(d["T_map_odom_t"]))
+
+
+def save_multiseq(path: str, ms) -> None:
+    """Checkpoint a parallel.multiseq_loop.MultiSeqSlam: the batched
+    (tracker, BA, correction[, VIO]) device states, per-sequence
+    trajectories, and each sequence's loop node.  Drains the in-flight
+    chunk and deferred loop batches first (stream-consistent snapshot)."""
+    ms.flush()
+    state = {"fe": ms.fe, "ba": ms.ba, "corr": ms.corr}
+    if ms.vio is not None:
+        state["vio"] = ms.vio
+    save_pytree(path, state)
+    for s in range(ms.S):
+        traj = np.asarray(
+            [[fid, t, *np.asarray(q), *np.asarray(tt)]
+             for (fid, t, q, tt) in ms.trajectories[s]],
+            np.float64).reshape(-1, 9)
+        np.save(f"{path}.traj{s}.npy", traj)
+        if ms.loopers[s] is not None:
+            save_loop_closer(f"{path}.loop{s}.npz", ms.loopers[s])
+
+
+def load_multiseq(path: str, ms) -> None:
+    """Restore a MultiSeqSlam checkpoint in place (ms provides templates,
+    sequence count, and loop-node capacity)."""
+    import os
+
+    tmpl = {"fe": ms.fe, "ba": ms.ba, "corr": ms.corr}
+    if ms.vio is not None:
+        tmpl["vio"] = ms.vio
+    state = load_pytree(path, tmpl)
+    ms.fe, ms.ba, ms.corr = state["fe"], state["ba"], state["corr"]
+    if ms.vio is not None:
+        ms.vio = state["vio"]
+    for s in range(ms.S):
+        traj = np.load(f"{path}.traj{s}.npy")
+        ms.trajectories[s] = [
+            (int(r[0]), float(r[1]), r[2:6].astype(np.float32),
+             r[6:9].astype(np.float32)) for r in traj]
+        lp = f"{path}.loop{s}.npz"
+        if ms.loopers[s] is not None and os.path.exists(lp):
+            load_loop_closer(lp, ms.loopers[s])
+    ms._frames = len(ms.trajectories[0])

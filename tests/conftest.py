@@ -21,9 +21,31 @@ jax.config.update("jax_platforms", "cpu")
 # Persistent compile cache: the suite's wall time is dominated by XLA
 # compiles of the big fused-chunk programs; executables are keyed on the
 # HLO hash, so code changes invalidate exactly the affected programs.
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache"))
+#
+# The cache dir is scoped by a MACHINE fingerprint: the cache key does NOT
+# include the host CPU feature set, and this working tree persists across
+# build machines — loading an XLA:CPU AOT executable compiled on a
+# different CPU generation warns "Machine type ... doesn't match" and can
+# SIGILL mid-suite (observed 2026-08-22: a round-4 cache entry segfaulted
+# the whole pytest process inside compilation_cache.get_executable).
+
+
+def _machine_cache_dir() -> str:
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next(line for line in f if line.startswith("flags"))
+    except Exception:
+        import platform
+
+        flags = platform.processor() or "unknown"
+    tag = hashlib.sha1(flags.encode()).hexdigest()[:10]
+    return os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache",
+                        f"machine-{tag}")
+
+
+jax.config.update("jax_compilation_cache_dir", _machine_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402

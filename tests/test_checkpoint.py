@@ -124,3 +124,62 @@ class TestLoopCloserCheckpoint:
         S = lc2.sim_matrix()
         assert S.shape == (10, 10)
         np.testing.assert_allclose(np.diag(S), 1.0, atol=1e-5)
+
+
+class TestMultiSeqCheckpoint:
+    def test_multiseq_resume_continues_identically(self, tmp_path):
+        """save_multiseq/load_multiseq: a restored MultiSeqSlam (DP + loop
+        nodes) continues the replay identically to the uninterrupted run."""
+        from flvis_tpu.config import LoopConfig
+        from flvis_tpu.parallel.multiseq_loop import MultiSeqSlam
+
+        scfg = SceneConfig(width=256, height=192, fx=200.0, fy=200.0,
+                           cx=128.0, cy=96.0, baseline=0.12)
+        scene = PlanarScene(scfg, plane_depth=8.0, seed=11)
+        cfg = SystemConfig(
+            frontend=FrontendConfig(width=scfg.width, height=scfg.height,
+                                    num_slots=128, pyramid_levels=3,
+                                    per_cell=8, min_distance=12.0, margin=22,
+                                    kf_min_trans=0.04, pnp_fallback=False),
+            backend=BackendConfig(window_size=5, max_landmarks=256,
+                                  iters1=8, iters2=4, pallas_schur=False),
+            loop=LoopConfig(max_keyframes=64, num_orb_features=128,
+                            vocab_words=128, kf_start=10, kf_dist=8,
+                            kf_max_dist=64, nkf_closest=2, min_pts=12,
+                            min_score=0.03, ratio_ransac=0.3,
+                            seq_edge_successors=3),
+        )
+        cam = camera.make(scfg.fx, scfg.fy, scfg.cx, scfg.cy, scfg.baseline,
+                          width=scfg.width, height=scfg.height)
+        n = 16
+        xs = np.linspace(0, 0.6, n)
+        frames = [scene.render(np.eye(3), -np.asarray([x, 0.0, 0.0]))
+                  for x in xs]
+        i0 = np.stack([f[0] for f in frames])
+        i1 = np.stack([f[1] for f in frames])
+        S = 2
+        bc = lambda a: np.broadcast_to(a, (S,) + a.shape)
+
+        # Uninterrupted run.
+        ms_full = MultiSeqSlam(cfg, cam, num_seqs=S, use_loop=True)
+        for c0 in range(0, n, 8):
+            ms_full.process_chunk(bc(i0[c0:c0 + 8]), bc(i1[c0:c0 + 8]))
+        ms_full.flush()
+
+        # Run half, checkpoint, restore into a FRESH system, run the rest.
+        ms_a = MultiSeqSlam(cfg, cam, num_seqs=S, use_loop=True)
+        ms_a.process_chunk(bc(i0[:8]), bc(i1[:8]))
+        p = str(tmp_path / "ms.npz")
+        checkpoint.save_multiseq(p, ms_a)
+        ms_b = MultiSeqSlam(cfg, cam, num_seqs=S, use_loop=True)
+        checkpoint.load_multiseq(p, ms_b)
+        assert ms_b._frames == 8
+        ms_b.process_chunk(bc(i0[8:]), bc(i1[8:]))
+        ms_b.flush()
+
+        for s in range(S):
+            t_full = np.asarray([t for (_, _, _, t)
+                                 in ms_full.trajectories[s]])
+            t_res = np.asarray([t for (_, _, _, t) in ms_b.trajectories[s]])
+            np.testing.assert_allclose(t_res, t_full, atol=1e-5)
+            assert ms_b.loopers[s].count == ms_full.loopers[s].count
