@@ -170,8 +170,14 @@ class MultiSeqSlam:
                      for lc, g in zip(self.loopers, self._pending_gate)]
         verify_devs = [None if lc is None else lc.pending_verify_arrays(v)
                        for lc, v in zip(self.loopers, self._pending_verify)]
-        packed, gate_rows, verify_stats = jax.device_get(
-            (packed_dev, gate_devs, verify_devs))
+        # Bundle ts into the same device_get when it lives on device (the
+        # VIO path ships it as a jnp array): a separate np.asarray(ts)
+        # would cost one extra tunnel round trip per chunk.
+        ts_dev = ts if isinstance(ts, jax.Array) else None
+        packed, gate_rows, verify_stats, ts_fetched = jax.device_get(
+            (packed_dev, gate_devs, verify_devs, ts_dev))
+        if ts_fetched is not None:
+            ts = ts_fetched
         packed = np.asarray(packed)
         for s in range(S):
             lc = self.loopers[s]
