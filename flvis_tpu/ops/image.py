@@ -65,13 +65,62 @@ def build_pyramid(img, num_levels: int):
     return levels
 
 
-def build_grad_pyramid(img, num_levels: int):
+@functools.cache
+def _even_sel(n: int):
+    """((n+1)//2, n) 0/1 matrix selecting even indices (x[::2] as a matmul).
+
+    Returns numpy (NOT jnp): a cached jnp constant created under one trace
+    would leak that trace's tracer into the next (UnexpectedTracerError)."""
+    oh = np.arange((n + 1) // 2)[:, None] * 2 == np.arange(n)[None, :]
+    return oh.astype(np.float32)
+
+
+def _decimate2_matmul(b):
+    """x[..., ::2, ::2] as two one-hot selection matmuls.
+
+    A stride-2 slice as a pallas_call INPUT costs a full strided-relayout
+    pass per level boundary (~0.35 ms at 480x752 — the round-4 stride-2
+    fusion-input trap); the MXU selection matmuls are ~free (measured: the
+    3-level kernel pyramid drops 1.07 -> 0.29 ms/frame).  precision=HIGHEST
+    on both operands — single-term one-hot sums are then bit-exact, and the
+    mixed (DEFAULT, HIGHEST) idiom is NOT reliably exact on this contraction
+    layout (measured 0.5-ulp-of-bf16 errors when the data side rides a bf16
+    pass here)."""
+    t = jnp.einsum("...hw,rh->...rw", b, _even_sel(b.shape[-2]),
+                   precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("...rw,sw->...rs", t, _even_sel(b.shape[-1]),
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def build_grad_pyramid(img, num_levels: int, use_kernel: bool | None = None):
     """Pyramid with per-level Scharr gradients: tuple of (img, gx, gy).
 
     Computed ONCE per frame and reused by every LK pass over that image
     (temporal track + stereo forward + stereo backward) — the gradient convs
     are a large share of the frontend's op count otherwise.
+
+    On TPU each level runs through the fused Pallas kernel
+    (ops/pallas/gradpyr.py): gx, gy and pyr_down's 5-tap blur all emit from
+    ONE VMEM-resident copy of the level instead of ~30 shifted-add passes
+    (measured 1.26 -> ~0.4 ms/frame on the tracker's (3, 480, 752) stack,
+    bit-identical taps); the terminal stride-2 decimation stays in XLA
+    (terminal strided slices fuse fine — CLAUDE.md round-4 note).
     """
+    if use_kernel is None:
+        use_kernel = jax.default_backend() == "tpu"
+    if use_kernel:
+        from .pallas.gradpyr import grad_blur_pallas
+
+        squeeze = img.ndim == 2
+        level = img[None] if squeeze else img
+        out = []
+        for l in range(num_levels):
+            gx, gy, blur = grad_blur_pallas(level)
+            out.append((level[0], gx[0], gy[0]) if squeeze
+                       else (level, gx, gy))
+            if l + 1 < num_levels:
+                level = _decimate2_matmul(blur)
+        return tuple(out)
     out = []
     level = img
     for l in range(num_levels):
@@ -324,24 +373,40 @@ def equalize_hist(img, num_bins: int = 256):
     the YAML blur gate triggers, /root/reference/src/frontend/
     f2f_tracking.cpp:127-148).
 
-    TPU note: both the histogram and the LUT application are fused
-    broadcast-compare reductions (per-pixel one-hot against the 256 bins),
-    not scatter-add / gather — per-element scatters and small-table gathers
-    serialize on the scalar core while compare+select+reduce is pure VPU
-    throughput.
+    TPU note: both the histogram and the LUT application run on one-hot
+    encodings, not scatter-add / gather — per-element scatters and
+    small-table gathers serialize on the scalar core while compare/matmul
+    work is pure VPU/MXU throughput (factorized form below).
 
     The last two dims are the image; leading dims batch with an independent
     histogram each (the tracker stacks the stereo pair into one call)."""
     idx = jnp.clip(img, 0.0, 255.0).astype(jnp.int32)
-    bins = jnp.arange(num_bins, dtype=jnp.int32)
-    onehot = idx[..., None] == bins                     # fused into both reduces
-    hist = jnp.sum(onehot, axis=(-3, -2), dtype=jnp.float32)   # (..., bins)
+    # Factorize the 256-wide one-hot into two 16-wide one-hots
+    # (bin = 16*hi + lo): the histogram becomes ONE MXU matmul
+    # (oh_hi^T @ oh_lo, contraction over pixels) and the LUT application a
+    # K=16 matmul + masked reduce — ~7x less VPU work per pixel than the
+    # 256-wide compare passes (measured 0.69 -> 0.27 ms/frame for the
+    # stereo pair, bit-identical: 0/1 one-hots are exact in bf16 and
+    # integer counts < 2^24 are exact in the f32 accumulator).
+    hi = idx >> 4
+    lo = idx & 15
+    a16 = jnp.arange(16, dtype=jnp.int32)
+    oh_hi = (hi[..., None] == a16).astype(jnp.bfloat16)        # (..., H, W, 16)
+    oh_lo = (lo[..., None] == a16).astype(jnp.bfloat16)
+    hist2 = jnp.einsum("...hwa,...hwb->...ab", oh_hi, oh_lo,
+                       preferred_element_type=jnp.float32)     # (..., 16, 16)
+    hist = hist2.reshape(*hist2.shape[:-2], num_bins)          # hi-major == bin order
     cdf = jnp.cumsum(hist, axis=-1)
     first = jnp.argmax(cdf > 0, axis=-1)[..., None]
     cdf_min = jnp.take_along_axis(cdf, first, axis=-1)         # (..., 1)
     denom = jnp.maximum(cdf[..., -1:] - cdf_min, 1.0)
     lut = jnp.clip((cdf - cdf_min) / denom * 255.0, 0.0, 255.0)
-    return jnp.sum(onehot * lut[..., None, None, :], axis=-1)
+    L = lut.reshape(*lut.shape[:-1], 16, 16)
+    # One bf16 pass on the exact 0/1 side, full precision on the LUT side.
+    t = jnp.einsum("...hwa,...ab->...hwb", oh_hi, L,
+                   precision=(jax.lax.Precision.DEFAULT,
+                              jax.lax.Precision.HIGHEST))
+    return jnp.sum(t * oh_lo.astype(jnp.float32), axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("sigma", "ksize"))

@@ -340,3 +340,49 @@ class TestDisparitySweep:
         v = np.asarray(valid)
         # Flat interior (away from its borders, half-res coords) invalid.
         assert v[35:55, 50:90].mean() < 0.2
+
+
+class TestGradPyrKernel:
+    def test_grad_blur_pallas_matches_sep_filter(self):
+        """The fused Scharr+blur kernel must match scharr_gradients and
+        _sep_filter(_PYR_K): same tap order/weights, pre-padded
+        edge-replicate halo.  On TPU the match is bit-exact (verified on
+        hardware); interpret mode on CPU shows ~1e-5 FMA-contraction
+        jitter vs the fused XLA graph, so compare at tight atol here."""
+        from flvis_tpu.ops.pallas.gradpyr import grad_blur_pallas
+
+        rng = np.random.default_rng(5)
+        stack = jnp.asarray(rng.uniform(0, 255, (2, 100, 150))
+                            .astype(np.float32))
+        gx, gy, blur = grad_blur_pallas(stack, interpret=True)
+        gx_r, gy_r = imops.scharr_gradients(stack)
+        blur_r = imops._sep_filter(stack, imops._PYR_K, imops._PYR_K)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_r), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(gy), np.asarray(gy_r), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(blur), np.asarray(blur_r), atol=1e-3)
+
+    def test_build_grad_pyramid_kernel_route_matches(self):
+        """build_grad_pyramid(use_kernel=True) — Pallas levels + one-hot
+        matmul decimation — must reproduce the XLA route exactly at every
+        level, for both the (B, H, W) stacked and (H, W) single-image
+        forms."""
+        rng = np.random.default_rng(6)
+        for shape in ((3, 96, 160), (96, 160)):
+            img = jnp.asarray(rng.uniform(0, 255, shape).astype(np.float32))
+            ref = imops.build_grad_pyramid(img, 3, use_kernel=False)
+            new = imops.build_grad_pyramid(img, 3, use_kernel=True)
+            assert len(ref) == len(new) == 3
+            for (ri, rx, ry), (ni, nx, ny) in zip(ref, new):
+                np.testing.assert_allclose(np.asarray(ni), np.asarray(ri),
+                                           atol=1e-3)
+                np.testing.assert_allclose(np.asarray(nx), np.asarray(rx),
+                                           atol=1e-3)
+                np.testing.assert_allclose(np.asarray(ny), np.asarray(ry),
+                                           atol=1e-3)
+
+    def test_decimate2_matmul_is_stride2(self):
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.uniform(0, 255, (2, 37, 53)).astype(np.float32))
+        got = imops._decimate2_matmul(x)
+        np.testing.assert_array_equal(np.asarray(got),
+                                      np.asarray(x[..., ::2, ::2]))
