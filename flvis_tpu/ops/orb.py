@@ -203,24 +203,29 @@ def detect_and_compute(img, num_features: int = 500, threshold: float = 20.0,
     pass instead of ~40 full-image HBM passes); default on TPU.
     """
     h, w = img.shape
+    margin = 20
     if use_kernel is None:
         use_kernel = jax.default_backend() == "tpu"
     if use_kernel:
-        from .pallas.fastblur import fast_score_blur_pallas
+        # Fused FAST + 3×3 NMS + margin mask + Gaussian blur: one VMEM
+        # pass (ops/pallas/fastblur.py) — the suppressed score comes out
+        # ready for top-k.
+        from .pallas.fastblur import fast_score_nms_blur_pallas
 
-        score, blur = fast_score_blur_pallas(img, threshold, sigma=2.0)
+        score, blur = fast_score_nms_blur_pallas(img, threshold, sigma=2.0,
+                                                 margin=margin)
     else:
-        score = fast_score(img, threshold)
+        raw = fast_score(img, threshold)
         blur = None
-    # 3×3 non-max suppression + border exclusion (BRIEF patch support).
-    pooled = jax.lax.reduce_window(
-        score, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
-    )
-    margin = 20
-    yy = jnp.arange(h)[:, None]
-    xx = jnp.arange(w)[None, :]
-    ok = (yy >= margin) & (yy < h - margin) & (xx >= margin) & (xx < w - margin)
-    score = jnp.where((score >= pooled) & ok, score, 0.0)
+        # 3×3 non-max suppression + border exclusion (BRIEF patch support).
+        pooled = jax.lax.reduce_window(
+            raw, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
+        )
+        yy = jnp.arange(h)[:, None]
+        xx = jnp.arange(w)[None, :]
+        ok = ((yy >= margin) & (yy < h - margin)
+              & (xx >= margin) & (xx < w - margin))
+        score = jnp.where((raw >= pooled) & ok, raw, 0.0)
 
     flat = score.reshape(-1)
     # Approximate top-k: exact top_k sorts the whole 361k-score vector; the

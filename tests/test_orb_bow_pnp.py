@@ -169,24 +169,35 @@ class TestPallasHamming:
 
 class TestFastBlurKernel:
     def test_pallas_fastblur_matches_xla(self):
-        """The fused FAST+blur Pallas kernel (interpret mode on CPU) must
-        bit-match ops/orb.fast_score away from the 3-px border band (roll-
-        wrap vs edge-pad; detections are margin-masked anyway) and
-        ops/image.gaussian_blur everywhere."""
+        """The fused FAST+NMS+blur Pallas kernel (interpret mode on CPU)
+        must bit-match the XLA formulation: fast_score -> 3x3 reduce_window
+        max -> keep-ties + margin mask (the margin covers the border band
+        where roll-wrap vs edge-pad differ), and ops/image.gaussian_blur
+        everywhere."""
+        import jax
         import jax.numpy as jnp
 
         from flvis_tpu.ops import image as imops, orb
-        from flvis_tpu.ops.pallas.fastblur import fast_score_blur_pallas
+        from flvis_tpu.ops.pallas.fastblur import fast_score_nms_blur_pallas
 
         rng = np.random.default_rng(3)
         img = jnp.asarray(rng.uniform(0, 255, (120, 200)).astype(np.float32))
-        s_ref = np.asarray(orb.fast_score(img, 20.0))
+        h, w = img.shape
+        margin = 6
+        raw = orb.fast_score(img, 20.0)
+        pooled = jax.lax.reduce_window(raw, -jnp.inf, jax.lax.max,
+                                       (3, 3), (1, 1), "SAME")
+        yy = jnp.arange(h)[:, None]
+        xx = jnp.arange(w)[None, :]
+        ok = ((yy >= margin) & (yy < h - margin)
+              & (xx >= margin) & (xx < w - margin))
+        s_ref = np.asarray(jnp.where((raw >= pooled) & ok, raw, 0.0))
         b_ref = np.asarray(imops.gaussian_blur(img, sigma=2.0, ksize=7))
-        s_k, b_k = fast_score_blur_pallas(img, 20.0, interpret=True)
+        s_k, b_k = fast_score_nms_blur_pallas(img, 20.0, margin=margin,
+                                              interpret=True)
         np.testing.assert_array_equal(np.asarray(b_k), b_ref)
-        np.testing.assert_array_equal(np.asarray(s_k)[4:-4, 4:-4],
-                                      s_ref[4:-4, 4:-4])
-        assert (s_ref[4:-4, 4:-4] > 0).sum() > 100   # scenario non-trivial
+        np.testing.assert_array_equal(np.asarray(s_k), s_ref)
+        assert (s_ref > 0).sum() > 100               # scenario non-trivial
 
     def test_detect_and_compute_kernel_route_matches(self):
         """detect_and_compute(use_kernel=True) in interpret mode returns the
@@ -203,11 +214,11 @@ class TestFastBlurKernel:
         import unittest.mock as mock
         import flvis_tpu.ops.pallas.fastblur as fb
 
-        orig = fb.fast_score_blur_pallas
+        orig = fb.fast_score_nms_blur_pallas
         with mock.patch.object(
-                fb, "fast_score_blur_pallas",
-                lambda im, th, sigma=2.0: orig(im, th, sigma=sigma,
-                                               interpret=True)):
+                fb, "fast_score_nms_blur_pallas",
+                lambda im, th, sigma=2.0, margin=20: orig(
+                    im, th, sigma=sigma, margin=margin, interpret=True)):
             uv_k, d_k, v_k, a_k = orb.detect_and_compute(
                 img, num_features=64, use_kernel=True)
         np.testing.assert_array_equal(np.asarray(v_x), np.asarray(v_k))
